@@ -1,0 +1,184 @@
+"""Declarative configuration for the whole framework.
+
+The reference drives everything from a single ``config.json`` passed to
+``tf.estimator`` as ``params`` (SURVEY.md §2 "Config" row). We keep the same
+single-source-of-truth shape, but as typed dataclasses: every static shape in
+the compiled program (image size, anchor count, padded ground-truth count,
+NMS output size) is a pure function of one ``Config`` instance, so each
+(resolution, batch) pair compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """RetinaNet-style dense anchor grid over FPN levels.
+
+    Per level ``l`` (stride ``2**l``), anchors at every cell:
+    ``scales_per_octave`` octave scales x ``aspect_ratios``, with base size
+    ``anchor_scale * stride``.
+    """
+
+    min_level: int = 3
+    max_level: int = 7
+    anchor_scale: float = 4.0
+    scales_per_octave: int = 3
+    aspect_ratios: Sequence[float] = (1.0, 2.0, 0.5)
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return self.scales_per_octave * len(self.aspect_ratios)
+
+    @property
+    def strides(self) -> tuple[int, ...]:
+        return tuple(2 ** l for l in range(self.min_level, self.max_level + 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    backbone: str = "mobilenet"  # mobilenet | shufflenet | resnet50
+    width_multiplier: float = 1.0  # for mobilenet/shufflenet
+    fpn_channels: int = 128
+    head_depth: int = 4  # number of 3x3 convs in each subnet
+    head_channels: int = 0  # 0 -> same as fpn_channels
+    compute_dtype: str = "bfloat16"  # conv compute dtype on TPU
+    norm: str = "batch"  # batch | group
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_delta: float = 1.0
+    localization_weight: float = 1.0
+    classification_weight: float = 1.0
+    weight_decay: float = 1e-4
+    # Optional online hard example mining (the reference carries an OHEM
+    # variant alongside focal loss; focal is the default).
+    use_ohem: bool = False
+    ohem_neg_ratio: float = 3.0
+    ohem_min_negatives: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    matching_threshold: float = 0.5
+    negative_threshold: float = 0.4
+    force_match_for_each_gt: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class NMSConfig:
+    score_threshold: float = 0.05
+    iou_threshold: float = 0.5
+    max_boxes: int = 100  # final padded detections per image
+    pre_nms_top_k: int = 512  # per-class candidates entering suppression
+    use_pallas: bool = True  # on TPU use the Pallas kernel; jnp fallback otherwise
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64  # global batch over the data mesh
+    num_steps: int = 90_000
+    optimizer: str = "momentum"  # momentum | adam
+    momentum: float = 0.9
+    learning_rate: float = 0.08
+    lr_schedule: str = "cosine"  # cosine | piecewise
+    lr_boundaries: Sequence[int] = (60_000, 80_000)
+    lr_rates: Sequence[float] = (1.0, 0.1, 0.01)  # multipliers for piecewise
+    warmup_steps: int = 500
+    gradient_clip_norm: float = 10.0
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 5
+    log_every: int = 100
+    eval_every: int = 5000
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    train_file_pattern: str = "data/train-*.tfrecords"
+    val_file_pattern: str = "data/val-*.tfrecords"
+    max_gt_boxes: int = 100  # padded ground-truth boxes per image
+    shuffle_buffer: int = 2048
+    num_workers: int = 8
+    # SSD-style augmentation knobs
+    crop_min_ious: Sequence[float] = (0.1, 0.3, 0.5, 0.7, 0.9)
+    crop_probability: float = 0.85
+    flip_probability: float = 0.5
+    color_jitter_probability: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    num_classes: int = 80  # foreground classes (no background class; sigmoid heads)
+    image_size: int = 640  # square input resolution
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
+    losses: LossConfig = dataclasses.field(default_factory=LossConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    nms: NMSConfig = dataclasses.field(default_factory=NMSConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    def feature_map_sizes(self) -> tuple[tuple[int, int], ...]:
+        """Spatial size of each FPN level for this image size (static)."""
+        sizes = []
+        for stride in self.anchors.strides:
+            s = -(-self.image_size // stride)  # ceil div
+            sizes.append((s, s))
+        return tuple(sizes)
+
+    def num_anchors(self) -> int:
+        """Total number of anchors A for this image size (static)."""
+        k = self.anchors.num_anchors_per_cell
+        return sum(h * w * k for h, w in self.feature_map_sizes())
+
+    # ---------------------------------------------------------------- JSON io
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=indent)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def build(dc_cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+            kwargs = {}
+            for key, value in sub.items():
+                if key not in fields:
+                    raise KeyError(f"Unknown config key: {dc_cls.__name__}.{key}")
+                f = fields[key]
+                if dataclasses.is_dataclass(f.type) or f.name in (
+                    "model", "anchors", "losses", "matcher", "nms", "train", "data",
+                ):
+                    sub_cls = {
+                        "model": ModelConfig, "anchors": AnchorConfig,
+                        "losses": LossConfig, "matcher": MatcherConfig,
+                        "nms": NMSConfig, "train": TrainConfig, "data": DataConfig,
+                    }[f.name]
+                    kwargs[key] = build(sub_cls, value)
+                elif isinstance(value, list):
+                    kwargs[key] = tuple(value)
+                else:
+                    kwargs[key] = value
+            return dc_cls(**kwargs)
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())

@@ -1,0 +1,39 @@
+"""Framework-wide constants.
+
+Mirrors the role of the reference's ``src/constants.py`` (reference mount was
+empty at build time; values follow SURVEY.md §2 "Constants" row and the
+standard SSD/RetinaNet recipe the reference implements):
+
+* ``SCALE_FACTORS``: Faster-RCNN box-encoding divisors ``[10, 10, 5, 5]``.
+* ``MATCHING_THRESHOLD`` / ``NEGATIVE_THRESHOLD``: IoU-argmax matcher bands
+  (positive >= 0.5, negative < 0.4, ignore in between).
+
+All box coordinates in this framework are ``(ymin, xmin, ymax, xmax)``,
+normalized to ``[0, 1]`` relative to the image, matching the reference's
+tfrecord and public-API convention.
+"""
+
+# Box encoding scale factors for (ty, tx, th, tw).
+SCALE_FACTORS = (10.0, 10.0, 5.0, 5.0)
+
+# Anchor-matching IoU thresholds.
+MATCHING_THRESHOLD = 0.5   # IoU >= this -> positive anchor
+NEGATIVE_THRESHOLD = 0.4   # IoU < this -> negative anchor; in between -> ignored
+
+# Match-tensor sentinel values (per-anchor ground-truth index).
+IGNORE_MATCH = -2
+NEGATIVE_MATCH = -1
+
+# Focal loss defaults (RetinaNet).
+FOCAL_ALPHA = 0.25
+FOCAL_GAMMA = 2.0
+
+# RetinaNet class-head prior probability for bias init.
+CLASS_PRIOR = 0.01
+
+# Batch-norm defaults.
+BATCH_NORM_MOMENTUM = 0.997
+BATCH_NORM_EPSILON = 1e-3
+
+# Numerical epsilon for box geometry.
+EPSILON = 1e-8

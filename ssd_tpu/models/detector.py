@@ -1,0 +1,172 @@
+"""Detector: backbone -> FPN -> heads wiring, loss, and prediction.
+
+TPU-native counterpart of the reference's ``src/detector.py`` (SURVEY.md §2
+"Detector (core)" row). The reference's class builds a TF-1 graph; here the
+model is a pure flax module and ``Detector`` is a thin functional wrapper:
+
+  * ``model.apply(variables, images)`` -> ``(class_logits (N, A, C),
+    box_deltas (N, A, 4))`` — raw per-anchor outputs;
+  * ``Detector.loss`` builds matched targets + focal/smooth-L1 losses;
+  * ``Detector.predict`` decodes, clips, and runs class-wise NMS, returning
+    the reference's public contract
+    ``{boxes, scores, labels, num_boxes}`` at static shapes.
+
+Everything is jit-compatible; anchors are a trace-time constant per
+(image_size, anchor config).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssd_tpu.config import Config
+from ssd_tpu.models.fpn import FPN, RetinaHead
+from ssd_tpu.models.mobilenet import MobileNetV1
+from ssd_tpu.models.resnet import ResNet50
+from ssd_tpu.models.shufflenet import ShuffleNetV2
+from ssd_tpu.ops import box_utils, losses
+from ssd_tpu.ops.nms import Detections, batched_nms
+from ssd_tpu.ops.targets import create_targets
+
+# ImageNet normalization (images arrive as uint8 RGB).
+MEAN_RGB = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
+STD_RGB = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
+
+
+def normalize_images(images_uint8: jnp.ndarray,
+                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """uint8 NHWC -> normalized compute-dtype NHWC.
+
+    Runs on-device so the host ships 1 byte/pixel (4x less PCIe/DMA traffic
+    than feeding float32), per SURVEY.md §7 "Input" design note.
+    """
+    x = images_uint8.astype(jnp.float32)
+    x = (x - MEAN_RGB) / STD_RGB
+    return x.astype(compute_dtype)
+
+
+def build_backbone(cfg: Config) -> nn.Module:
+    m = cfg.model
+    if m.backbone == "mobilenet":
+        return MobileNetV1(m.width_multiplier, m.compute_dtype, name="backbone")
+    if m.backbone == "shufflenet":
+        return ShuffleNetV2(m.width_multiplier, m.compute_dtype, name="backbone")
+    if m.backbone == "resnet50":
+        return ResNet50(m.compute_dtype, name="backbone")
+    raise ValueError(f"unknown backbone: {m.backbone}")
+
+
+class SSDModel(nn.Module):
+    """backbone + FPN + shared subnets. Input: normalized NHWC images."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        cfg = self.cfg
+        feats = build_backbone(cfg)(images, train)
+        pyramid = FPN(cfg.model.fpn_channels, cfg.model.compute_dtype,
+                      name="fpn")(feats, train)
+        head_channels = cfg.model.head_channels or cfg.model.fpn_channels
+        logits, deltas = RetinaHead(
+            num_classes=cfg.num_classes,
+            anchors_per_cell=cfg.anchors.num_anchors_per_cell,
+            depth=cfg.model.head_depth,
+            channels=head_channels,
+            compute_dtype=cfg.model.compute_dtype,
+            name="head",
+        )(pyramid)
+        return logits, deltas
+
+
+class Detector:
+    """Functional front-end bundling config, model, and anchors."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.model = SSDModel(cfg)
+        from ssd_tpu.ops.anchors import generate_anchors
+        self.anchors = jnp.asarray(generate_anchors(cfg.image_size, cfg.anchors))
+        assert self.anchors.shape[0] == cfg.num_anchors()
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng: jax.Array) -> dict:
+        images = jnp.zeros(
+            (1, self.cfg.image_size, self.cfg.image_size, 3), jnp.bfloat16
+        )
+        return self.model.init(rng, images, train=False)
+
+    # ------------------------------------------------------------- forward
+
+    def apply(self, variables: dict, images: jnp.ndarray, train: bool = False,
+              mutable: Any = False):
+        return self.model.apply(variables, images, train=train, mutable=mutable)
+
+    # ---------------------------------------------------------------- loss
+
+    def loss(self, variables: dict, batch: dict, train: bool = True):
+        """Full training loss for a batch.
+
+        ``batch``: ``images`` uint8 (N, S, S, 3); ``boxes`` (N, M, 4);
+        ``labels`` (N, M) int32; ``num_boxes`` (N,) int32.
+        Returns ``(loss, (metrics, new_model_state))``.
+        """
+        cfg = self.cfg
+        images = normalize_images(batch["images"])
+        if train:
+            (logits, deltas), new_state = self.model.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+        else:
+            logits, deltas = self.model.apply(variables, images, train=False)
+            new_state = {}
+
+        targets = create_targets(
+            self.anchors, batch["boxes"], batch["labels"], batch["num_boxes"],
+            cfg.num_classes, cfg.matcher,
+        )
+        ld = losses.detection_loss(logits, deltas, targets, cfg.losses)
+        reg = losses.l2_regularization(
+            variables["params"], cfg.losses.weight_decay
+        )
+        total = ld.total + reg
+        metrics = {
+            "loss": total,
+            "classification_loss": ld.classification,
+            "localization_loss": ld.localization,
+            "regularization_loss": reg,
+            "num_positives": ld.num_positives,
+        }
+        return total, (metrics, new_state)
+
+    # ------------------------------------------------------------- predict
+
+    def predict(self, variables: dict, images_uint8: jnp.ndarray) -> Detections:
+        """uint8 images -> NMS'd detections (the reference's public contract)."""
+        cfg = self.cfg
+        images = normalize_images(images_uint8)
+        logits, deltas = self.model.apply(variables, images, train=False)
+        return self.postprocess(logits, deltas)
+
+    def postprocess(self, logits: jnp.ndarray, deltas: jnp.ndarray) -> Detections:
+        cfg = self.cfg
+        boxes = box_utils.decode(deltas.astype(jnp.float32), self.anchors[None])
+        boxes = box_utils.clip_boxes(boxes)
+        scores = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if cfg.nms.use_pallas and _on_tpu():
+            from ssd_tpu.ops.nms_pallas import batched_nms_pallas
+            return batched_nms_pallas(boxes, scores, cfg.nms)
+        return batched_nms(boxes, scores, cfg.nms)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

@@ -1,0 +1,129 @@
+"""Feature Pyramid Network + RetinaNet class/box subnets.
+
+TPU-native counterpart of the reference's ``src/network.py`` (SURVEY.md §2
+"FPN + heads" row): P3-P5 from 1x1 laterals + top-down upsample-add + 3x3
+smoothing; P6/P7 by stride-2 convs; shared class and box subnets applied per
+level; class-head bias initialized to ``-log((1 - pi) / pi)`` (RetinaNet
+focal-loss prior, pi = 0.01).
+
+Upsampling is nearest-neighbor at static shapes so XLA lowers it to a cheap
+broadcast-reshape rather than a gather.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.constants import CLASS_PRIOR
+from ssd_tpu.models.layers import ConvBN, _dtype
+
+
+def _upsample_nearest(x: jnp.ndarray, target_hw: tuple[int, int]) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    th, tw = target_hw
+    if th == 2 * h and tw == 2 * w:
+        # exact 2x: broadcast trick, no gather
+        x = x[:, :, None, :, None, :]
+        x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+        return x.reshape(n, 2 * h, 2 * w, c)
+    return jax.image.resize(x, (n, th, tw, c), method="nearest")
+
+
+class FPN(nn.Module):
+    """Builds P3..P7 from backbone {c3, c4, c5}."""
+
+    channels: int = 128
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, feats: dict, train: bool = False):
+        dt = self.compute_dtype
+        c3, c4, c5 = feats["c3"], feats["c4"], feats["c5"]
+
+        lat = lambda name: ConvBN(self.channels, kernel_size=1, use_norm=False,
+                                  act=None, compute_dtype=dt, name=name)
+        smooth = lambda name: ConvBN(self.channels, kernel_size=3, use_norm=False,
+                                     act=None, compute_dtype=dt, name=name)
+
+        p5 = lat("lateral5")(c5, train)
+        p4 = lat("lateral4")(c4, train) + _upsample_nearest(p5, c4.shape[1:3])
+        p3 = lat("lateral3")(c3, train) + _upsample_nearest(p4, c3.shape[1:3])
+
+        p3 = smooth("smooth3")(p3, train)
+        p4 = smooth("smooth4")(p4, train)
+        p5 = smooth("smooth5")(p5, train)
+
+        p6 = ConvBN(self.channels, kernel_size=3, strides=2, use_norm=False,
+                    act=None, compute_dtype=dt, name="p6")(c5, train)
+        p7 = ConvBN(self.channels, kernel_size=3, strides=2, use_norm=False,
+                    act=None, compute_dtype=dt, name="p7")(nn.relu(p6), train)
+        return [p3, p4, p5, p6, p7]
+
+
+class Subnet(nn.Module):
+    """Shared head: ``depth`` 3x3 convs + final prediction conv.
+
+    The same Subnet instance is applied to every pyramid level, so flax
+    shares its parameters across levels (RetinaNet's weight sharing).
+    """
+
+    depth: int
+    channels: int
+    out_channels: int  # K*C for the class head, K*4 for the box head
+    final_bias_init: float = 0.0
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x):
+        dt = _dtype(self.compute_dtype)
+        for i in range(self.depth):
+            x = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=dt,
+                        param_dtype=jnp.float32, name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = nn.Conv(
+            self.out_channels, (3, 3), padding="SAME", dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            bias_init=nn.initializers.constant(self.final_bias_init),
+            kernel_init=nn.initializers.normal(0.01),
+            name="predict",
+        )(x)
+        return x
+
+
+class RetinaHead(nn.Module):
+    """Class + box subnets over all levels -> (N, A, C) logits, (N, A, 4) deltas."""
+
+    num_classes: int
+    anchors_per_cell: int
+    depth: int = 4
+    channels: int = 128
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, pyramid: list):
+        k = self.anchors_per_cell
+        class_net = Subnet(
+            self.depth, self.channels, k * self.num_classes,
+            final_bias_init=-math.log((1.0 - CLASS_PRIOR) / CLASS_PRIOR),
+            compute_dtype=self.compute_dtype, name="class_net",
+        )
+        box_net = Subnet(
+            self.depth, self.channels, k * 4,
+            compute_dtype=self.compute_dtype, name="box_net",
+        )
+
+        logits, deltas = [], []
+        for p in pyramid:
+            n, h, w, _ = p.shape
+            cls = class_net(p).reshape(n, h * w * k, self.num_classes)
+            box = box_net(p).reshape(n, h * w * k, 4)
+            logits.append(cls)
+            deltas.append(box)
+        return (
+            jnp.concatenate(logits, axis=1),
+            jnp.concatenate(deltas, axis=1),
+        )

@@ -1,0 +1,25 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax imports.
+
+SURVEY.md §4 "Distributed tests without a cluster": all tests run on CPU with
+``xla_force_host_platform_device_count=8`` so pjit/sharding paths are
+exercised in plain pytest without TPU hardware.
+"""
+
+import os
+
+# Force-override: the environment may pre-set JAX_PLATFORMS=axon (real TPU
+# tunnel); tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,141 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssd_tpu.config import Config, LossConfig
+from ssd_tpu.ops import losses
+from ssd_tpu.ops.targets import Targets, create_targets
+
+
+def test_focal_matches_hand_computation():
+    logits = np.array([[2.0, -1.0]], np.float32)
+    targets = np.array([[1.0, 0.0]], np.float32)
+    alpha, gamma = 0.25, 2.0
+    got = np.asarray(losses.sigmoid_focal_loss(logits, targets, alpha, gamma))
+
+    p = 1 / (1 + np.exp(-logits))
+    pt = p * targets + (1 - p) * (1 - targets)
+    at = alpha * targets + (1 - alpha) * (1 - targets)
+    want = -at * (1 - pt) ** gamma * np.log(pt)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_focal_reduces_to_weighted_bce_at_gamma0():
+    logits = np.linspace(-3, 3, 7, dtype=np.float32)[None]
+    targets = (np.arange(7) % 2).astype(np.float32)[None]
+    got = np.asarray(losses.sigmoid_focal_loss(logits, targets, 0.5, 0.0))
+    p = 1 / (1 + np.exp(-logits))
+    bce = -(targets * np.log(p) + (1 - targets) * np.log(1 - p))
+    np.testing.assert_allclose(got, 0.5 * bce, atol=1e-5)
+
+
+def test_focal_downweights_easy_examples():
+    easy = losses.sigmoid_focal_loss(
+        jnp.array([[8.0]]), jnp.array([[1.0]]), 0.25, 2.0
+    )
+    hard = losses.sigmoid_focal_loss(
+        jnp.array([[-8.0]]), jnp.array([[1.0]]), 0.25, 2.0
+    )
+    assert float(easy[0, 0]) < 1e-6
+    assert float(hard[0, 0]) > 1.0
+
+
+def test_focal_is_stable_for_extreme_logits():
+    out = losses.sigmoid_focal_loss(
+        jnp.array([[500.0, -500.0]]), jnp.array([[0.0, 1.0]]), 0.25, 2.0
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+    g = jax.grad(
+        lambda x: jnp.sum(losses.sigmoid_focal_loss(x, jnp.ones_like(x), 0.25, 2.0))
+    )(jnp.array([[500.0, -500.0]]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_smooth_l1():
+    pred = jnp.array([0.0, 0.5, 2.0])
+    tgt = jnp.zeros(3)
+    got = np.asarray(losses.smooth_l1_loss(pred, tgt, 1.0))
+    np.testing.assert_allclose(got, [0.0, 0.125, 1.5], atol=1e-6)
+
+
+def _tiny_targets(num_classes=3):
+    n, a = 2, 6
+    reg_t = np.zeros((n, a, 4), np.float32)
+    reg_t[0, 0] = [0.1, -0.2, 0.3, 0.4]
+    cls_t = np.zeros((n, a, num_classes), np.float32)
+    cls_t[0, 0, 1] = 1.0
+    cls_w = np.ones((n, a), np.float32)
+    cls_w[0, 1] = 0.0  # ignored anchor
+    reg_w = np.zeros((n, a), np.float32)
+    reg_w[0, 0] = 1.0
+    matches = np.full((n, a), -1, np.int32)
+    matches[0, 0] = 0
+    matches[0, 1] = -2
+    return Targets(*map(jnp.asarray, (reg_t, cls_t, cls_w, reg_w, matches)))
+
+
+def test_detection_loss_ignores_masked_anchors():
+    t = _tiny_targets()
+    cfg = LossConfig()
+    logits = np.zeros((2, 6, 3), np.float32)
+    deltas = np.zeros((2, 6, 4), np.float32)
+
+    base = losses.detection_loss(jnp.asarray(logits), jnp.asarray(deltas), t, cfg)
+
+    # perturb ONLY the ignored anchor's logits -> loss unchanged
+    logits2 = logits.copy()
+    logits2[0, 1] = 50.0
+    pert = losses.detection_loss(jnp.asarray(logits2), jnp.asarray(deltas), t, cfg)
+    np.testing.assert_allclose(float(base.total), float(pert.total), rtol=1e-6)
+
+    # perturb a negative anchor -> classification loss increases
+    logits3 = logits.copy()
+    logits3[1, 3] = 5.0
+    pert3 = losses.detection_loss(jnp.asarray(logits3), jnp.asarray(deltas), t, cfg)
+    assert float(pert3.classification) > float(base.classification)
+
+    # localization only counts positives
+    deltas2 = deltas.copy()
+    deltas2[1, 2] = 9.0  # negative anchor regression is free
+    pert4 = losses.detection_loss(jnp.asarray(logits), jnp.asarray(deltas2), t, cfg)
+    np.testing.assert_allclose(
+        float(base.localization), float(pert4.localization), rtol=1e-6
+    )
+
+
+def test_loss_normalized_by_positives():
+    t = _tiny_targets()
+    cfg = LossConfig()
+    logits = jnp.zeros((2, 6, 3))
+    deltas = jnp.zeros((2, 6, 4))
+    out = losses.detection_loss(logits, deltas, t, cfg)
+    assert float(out.num_positives) == 1.0
+    assert np.isfinite(float(out.total))
+
+
+def test_ohem_selects_hard_negatives():
+    t = _tiny_targets()
+    cfg = LossConfig(use_ohem=True, ohem_neg_ratio=1.0, ohem_min_negatives=1)
+    # one negative anchor with huge loss, others tiny
+    logits = np.full((2, 6, 3), -8.0, np.float32)  # easy negatives
+    logits[0, 2] = 8.0  # hard negative
+    out = losses.detection_loss(
+        jnp.asarray(logits), jnp.zeros((2, 6, 4)), t, cfg
+    )
+    # hard negative dominates: loss must be large
+    assert float(out.classification) > 1.0
+    # and ignoring easy negatives keeps it close to (pos + hard neg) only
+    cfg_all = LossConfig(use_ohem=False)
+    out_all = losses.detection_loss(
+        jnp.asarray(logits), jnp.zeros((2, 6, 4)), t, cfg_all
+    )
+    assert float(out.classification) <= float(out_all.classification) + 1e-5
+
+
+def test_l2_regularization_skips_biases():
+    params = {
+        "kernel": jnp.ones((3, 3)),
+        "bias": jnp.ones((7,)) * 100.0,
+    }
+    got = float(losses.l2_regularization(params, 2.0))
+    np.testing.assert_allclose(got, 0.5 * 2.0 * 9.0, rtol=1e-6)

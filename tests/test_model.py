@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_tpu.config import Config, ModelConfig
+from ssd_tpu.models.detector import Detector, normalize_images
+
+SMALL = Config(
+    num_classes=4,
+    image_size=128,
+    model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                      fpn_channels=32, head_depth=1, compute_dtype="float32"),
+)
+
+
+def _batch_images(n, s):
+    return np.zeros((n, s, s, 3), np.uint8)
+
+
+def test_forward_shapes():
+    det = Detector(SMALL)
+    variables = det.init(jax.random.PRNGKey(0))
+    images = normalize_images(jnp.asarray(_batch_images(2, 128)))
+    logits, deltas = det.apply(variables, images)
+    a = SMALL.num_anchors()
+    assert logits.shape == (2, a, 4)
+    assert deltas.shape == (2, a, 4)
+    assert logits.dtype == jnp.float32
+
+
+def test_class_prior_bias_init():
+    det = Detector(SMALL)
+    variables = det.init(jax.random.PRNGKey(0))
+    images = normalize_images(jnp.asarray(_batch_images(1, 128)))
+    logits, _ = det.apply(variables, images)
+    probs = np.asarray(jax.nn.sigmoid(logits))
+    # RetinaNet prior: initial foreground probability ~= 0.01
+    assert 0.001 < probs.mean() < 0.05
+
+
+@pytest.mark.parametrize("backbone,mult", [
+    ("mobilenet", 0.25), ("shufflenet", 0.5), ("resnet50", 1.0),
+])
+def test_all_backbones_forward(backbone, mult):
+    cfg = Config(
+        num_classes=3, image_size=64,
+        model=ModelConfig(backbone=backbone, width_multiplier=mult,
+                          fpn_channels=32, head_depth=1,
+                          compute_dtype="float32"),
+    )
+    det = Detector(cfg)
+    variables = det.init(jax.random.PRNGKey(1))
+    images = normalize_images(jnp.asarray(_batch_images(1, 64)))
+    logits, deltas = det.apply(variables, images)
+    assert logits.shape == (1, cfg.num_anchors(), 3)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.all(np.isfinite(np.asarray(deltas)))
+
+
+def test_predict_contract():
+    det = Detector(SMALL)
+    variables = det.init(jax.random.PRNGKey(0))
+    images = jnp.asarray(_batch_images(2, 128))
+    out = jax.jit(det.predict)(variables, images)
+    m = SMALL.nms.max_boxes
+    assert out.boxes.shape == (2, m, 4)
+    assert out.scores.shape == (2, m)
+    assert out.labels.shape == (2, m)
+    assert out.num_boxes.shape == (2,)
+    b = np.asarray(out.boxes)
+    assert np.all(b >= 0.0) and np.all(b <= 1.0)
+
+
+def test_batchnorm_state_updates():
+    det = Detector(SMALL)
+    variables = det.init(jax.random.PRNGKey(0))
+    images = normalize_images(
+        jnp.asarray((np.random.default_rng(0).integers(0, 255, (2, 128, 128, 3)))
+                    .astype(np.uint8)))
+    (_, _), new_state = det.apply(variables, images, train=True,
+                                  mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(o), np.asarray(n)) for o, n in zip(old, new)
+    )
+    assert changed
+
+
+def test_normalize_images_range():
+    images = jnp.full((1, 8, 8, 3), 255, jnp.uint8)
+    out = np.asarray(normalize_images(images, jnp.float32))
+    assert out.max() < 3.0 and out.min() > 1.5  # (255-mean)/std per channel
