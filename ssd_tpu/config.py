@@ -77,7 +77,8 @@ class NMSConfig:
     score_threshold: float = 0.05
     iou_threshold: float = 0.5
     max_boxes: int = 100  # final padded detections per image
-    pre_nms_top_k: int = 512  # per-class candidates entering suppression
+    num_candidates: int = 1024  # global top-Q anchors kept before class-wise NMS
+    pre_nms_top_k: int = 128  # per-class candidates entering suppression
     use_pallas: bool = True  # on TPU use the Pallas kernel; jnp fallback otherwise
 
 

@@ -1,0 +1,108 @@
+"""Offline dataset preparation: annotations + images -> sharded tfrecords.
+
+TPU-native counterpart of the reference's ``create_tfrecords.py``
+(SURVEY.md §2/§3.4): embarrassingly parallel CLI that converts a COCO-style
+annotation JSON plus an image directory into sharded tfrecord files in the
+schema ssd_tpu/data/tfrecord.py defines (jpeg bytes + normalized
+ymin/xmin/ymax/xmax + labels).
+
+Usage:
+    python -m ssd_tpu.data.create_tfrecords \
+        --annotations instances_train2017.json --images train2017/ \
+        --output data/train --num-shards 64
+
+Accepted annotation formats:
+  * COCO instances JSON (``images`` / ``annotations`` / ``categories``);
+  * a simple JSON list: ``[{"filename", "boxes" [[ymin,xmin,ymax,xmax]
+    normalized], "labels" [int]}, ...]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ssd_tpu.data.tfrecord import RecordWriter, encode_detection_example
+
+
+def load_coco(path: str) -> list[dict]:
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, list):  # simple format, already normalized
+        return data
+    images = {im["id"]: im for im in data["images"]}
+    # map COCO category ids (non-contiguous) -> contiguous [0, C)
+    cat_ids = sorted(c["id"] for c in data["categories"])
+    cat_map = {cid: i for i, cid in enumerate(cat_ids)}
+    per_image: dict[int, dict] = {}
+    for ann in data["annotations"]:
+        if ann.get("iscrowd"):
+            continue
+        im = images[ann["image_id"]]
+        h, w = im["height"], im["width"]
+        x, y, bw, bh = ann["bbox"]
+        box = [y / h, x / w, (y + bh) / h, (x + bw) / w]
+        box = [min(max(v, 0.0), 1.0) for v in box]
+        if box[2] <= box[0] or box[3] <= box[1]:
+            continue
+        entry = per_image.setdefault(
+            ann["image_id"],
+            {"filename": im["file_name"], "boxes": [], "labels": []},
+        )
+        entry["boxes"].append(box)
+        entry["labels"].append(cat_map[ann["category_id"]])
+    # include images with no annotations too (pure negatives)
+    for iid, im in images.items():
+        per_image.setdefault(
+            iid, {"filename": im["file_name"], "boxes": [], "labels": []}
+        )
+    return [per_image[k] for k in sorted(per_image)]
+
+
+def write_shards(entries: list[dict], image_dir: str, output_prefix: str,
+                 num_shards: int) -> int:
+    os.makedirs(os.path.dirname(os.path.abspath(output_prefix)) or ".",
+                exist_ok=True)
+    writers = [
+        RecordWriter(f"{output_prefix}-{i:05d}-of-{num_shards:05d}.tfrecords")
+        for i in range(num_shards)
+    ]
+    written = 0
+    try:
+        for n, entry in enumerate(entries):
+            path = os.path.join(image_dir, entry["filename"])
+            try:
+                with open(path, "rb") as f:
+                    jpeg = f.read()
+            except FileNotFoundError:
+                continue
+            boxes = np.asarray(entry["boxes"], np.float32).reshape(-1, 4)
+            labels = np.asarray(entry["labels"], np.int64)
+            writers[n % num_shards].write(
+                encode_detection_example(jpeg, boxes, labels)
+            )
+            written += 1
+    finally:
+        for w in writers:
+            w.close()
+    return written
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--output", required=True, help="output shard prefix")
+    p.add_argument("--num-shards", type=int, default=32)
+    args = p.parse_args()
+
+    entries = load_coco(args.annotations)
+    n = write_shards(entries, args.images, args.output, args.num_shards)
+    print(f"wrote {n} examples to {args.output}-*-of-{args.num_shards:05d}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Host-side input pipeline: tfrecords -> batched device-ready arrays.
+
+TPU-native counterpart of the reference's ``src/input_pipeline/pipeline.py``
+(SURVEY.md §2 "Input pipeline" row). The reference builds a ``tf.data``
+graph; here the pipeline is an explicit, deterministic, exactly-resumable
+host loader feeding static-shape uint8 batches:
+
+  * an offset index over all shards enables random access; each epoch is a
+    seeded permutation of example indices — iterator state is just
+    ``(epoch, position)``, checkpointed alongside the train state so resume
+    replays the exact example sequence (SURVEY.md §5 checkpoint/resume);
+  * jpeg decode runs in the native C++ thread pool
+    (ssd_tpu/data/native.py); SSD crop/flip/color augmentation in numpy;
+    resize in C++; images ship to device as uint8 (normalize on-chip);
+  * multi-host sharding: host ``i`` of ``k`` owns example indices with
+    ``idx %% k == i`` — per-host disjoint streams with no coordination;
+  * a background prefetch thread double-buffers the next batch so device
+    step time and host data time overlap.
+
+Batch contract: ``images (B, S, S, 3) uint8``, ``boxes (B, M, 4) float32``
+(zero-padded), ``labels (B, M) int32``, ``num_boxes (B,) int32``.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import queue
+import threading
+
+import numpy as np
+
+from ssd_tpu.config import Config
+from ssd_tpu.data import native
+from ssd_tpu.data.augment import augment_example
+from ssd_tpu.data.tfrecord import decode_detection_example, record_offsets
+
+
+class ShardIndex:
+    """Random-access index over a set of tfrecord shards."""
+
+    def __init__(self, files: list[str]):
+        if not files:
+            raise FileNotFoundError("no tfrecord files given")
+        self.files = sorted(files)
+        self._handles: dict[int, object] = {}
+        self.entries: list[tuple[int, int, int]] = []  # (file_idx, offset, len)
+        for fi, path in enumerate(self.files):
+            for off, length in record_offsets(path):
+                self.entries.append((fi, off, length))
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def read(self, idx: int) -> bytes:
+        fi, off, length = self.entries[idx]
+        handle = self._handles.get(fi)
+        if handle is None:
+            handle = open(self.files[fi], "rb")
+            self._handles[fi] = handle
+        handle.seek(off)
+        return handle.read(length)
+
+
+class Pipeline:
+    """Deterministic, resumable batched loader."""
+
+    def __init__(
+        self,
+        file_pattern: str | list[str],
+        cfg: Config,
+        is_training: bool = True,
+        batch_size: int | None = None,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        files = (
+            sorted(globlib.glob(file_pattern))
+            if isinstance(file_pattern, str) else list(file_pattern)
+        )
+        self.index = ShardIndex(files)
+        self.cfg = cfg
+        self.is_training = is_training
+        self.batch_size = batch_size or cfg.train.batch_size
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+        self.position = 0  # batches consumed within the epoch
+        # host-local example ids
+        self._local = np.arange(len(self.index))[host_id::num_hosts]
+        if len(self._local) < self.batch_size:
+            # tiny datasets: repeat to fill one batch
+            reps = -(-self.batch_size // max(len(self._local), 1))
+            self._local = np.tile(self._local, reps)
+
+    # ------------------------------------------------------------ state
+
+    def state(self) -> dict:
+        return {"epoch": self.epoch, "position": self.position,
+                "seed": self.seed}
+
+    def restore(self, state: dict) -> None:
+        self.epoch = int(state["epoch"])
+        self.position = int(state["position"])
+        self.seed = int(state["seed"])
+
+    # ------------------------------------------------------------ epochs
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = self._local
+        if self.is_training:
+            rng = np.random.default_rng((self.seed, epoch))
+            order = rng.permutation(order)
+        return order
+
+    def batches_per_epoch(self) -> int:
+        return len(self._local) // self.batch_size
+
+    # ------------------------------------------------------------ build
+
+    def _make_batch(self, example_ids: np.ndarray, epoch: int) -> dict:
+        cfg = self.cfg
+        s = cfg.image_size
+        m = cfg.data.max_gt_boxes
+        b = len(example_ids)
+
+        payloads = [self.index.read(i) for i in example_ids]
+        decoded = [decode_detection_example(p) for p in payloads]
+        jpegs = [d[0] for d in decoded]
+
+        images_out = np.zeros((b, s, s, 3), np.uint8)
+        boxes_out = np.zeros((b, m, 4), np.float32)
+        labels_out = np.zeros((b, m), np.int32)
+        num_out = np.zeros((b,), np.int32)
+
+        if self.is_training:
+            # full-size decode -> augment (crop/flip/color) -> resize
+            for j, (jpeg, boxes, labels) in enumerate(decoded):
+                img = native.decode_jpeg(jpeg)
+                rng = np.random.default_rng(
+                    (self.seed, epoch, int(example_ids[j]))
+                )
+                img, boxes, labels = augment_example(
+                    img, boxes, labels, rng, cfg.data
+                )
+                images_out[j] = native.resize(img, s, s)
+                k = min(len(boxes), m)
+                if k:
+                    boxes_out[j, :k] = np.clip(boxes[:k], 0.0, 1.0)
+                    labels_out[j, :k] = labels[:k]
+                num_out[j] = k
+        else:
+            images_out[:] = native.decode_jpeg_batch(
+                jpegs, s, s, n_threads=cfg.data.num_workers
+            )
+            for j, (_, boxes, labels) in enumerate(decoded):
+                k = min(len(boxes), m)
+                if k:
+                    boxes_out[j, :k] = np.clip(boxes[:k], 0.0, 1.0)
+                    labels_out[j, :k] = labels[:k]
+                num_out[j] = k
+
+        return {
+            "images": images_out,
+            "boxes": boxes_out,
+            "labels": labels_out,
+            "num_boxes": num_out,
+        }
+
+    # --------------------------------------------------------- iterate
+
+    def _generate(self):
+        while True:
+            order = self._epoch_order(self.epoch)
+            nb = len(order) // self.batch_size
+            while self.position < nb:
+                ids = order[
+                    self.position * self.batch_size:
+                    (self.position + 1) * self.batch_size
+                ]
+                yield self._make_batch(ids, self.epoch)
+                self.position += 1
+            if not self.is_training:
+                return
+            self.epoch += 1
+            self.position = 0
+
+    def __iter__(self):
+        """Prefetching iterator (daemon thread keeps the device fed)."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for batch in self._generate():
+                    if stop.is_set():
+                        return
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,48 @@
+"""Inference artifact export/load — the reference's ``save.py`` equivalent.
+
+The reference freezes a SavedModel (SURVEY.md §3.3); the TPU-native artifact
+is simply {config.json + orbax params checkpoint}: ``predict`` is re-jitted
+(and AOT-compilable) from those, which is both smaller and
+resolution-retargetable. Keeps the reference's two-artifact split: training
+checkpoints (full TrainState, see utils/checkpoint.py) vs this
+inference-only export.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+from ssd_tpu.config import Config
+
+
+def save_inference_artifact(path: str, cfg: Config, variables: dict) -> None:
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    cfg.save(os.path.join(path, "config.json"))
+    ckpt = ocp.StandardCheckpointer()
+    target = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    ckpt.save(os.path.join(path, "variables"), target, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_inference_artifact(path: str) -> tuple[Config, dict]:
+    path = os.path.abspath(path)
+    cfg = Config.load(os.path.join(path, "config.json"))
+
+    # Restore with an abstract target so dtypes/shapes come from the model.
+    from ssd_tpu.models.detector import Detector
+    det = Detector(cfg)
+    abstract = jax.eval_shape(lambda: det.init(jax.random.PRNGKey(0)))
+    target = {
+        "params": abstract["params"],
+        "batch_stats": abstract.get("batch_stats", {}),
+    }
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.join(path, "variables"), target)
+    return cfg, restored

@@ -29,8 +29,8 @@ from ssd_tpu.models.fpn import FPN, RetinaHead
 from ssd_tpu.models.mobilenet import MobileNetV1
 from ssd_tpu.models.resnet import ResNet50
 from ssd_tpu.models.shufflenet import ShuffleNetV2
-from ssd_tpu.ops import box_utils, losses
-from ssd_tpu.ops.nms import Detections, batched_nms
+from ssd_tpu.ops import losses
+from ssd_tpu.ops.nms import Detections
 from ssd_tpu.ops.targets import create_targets
 
 # ImageNet normalization (images arrive as uint8 RGB).
@@ -155,14 +155,11 @@ class Detector:
         return self.postprocess(logits, deltas)
 
     def postprocess(self, logits: jnp.ndarray, deltas: jnp.ndarray) -> Detections:
-        cfg = self.cfg
-        boxes = box_utils.decode(deltas.astype(jnp.float32), self.anchors[None])
-        boxes = box_utils.clip_boxes(boxes)
-        scores = jax.nn.sigmoid(logits.astype(jnp.float32))
-        if cfg.nms.use_pallas and _on_tpu():
-            from ssd_tpu.ops.nms_pallas import batched_nms_pallas
-            return batched_nms_pallas(boxes, scores, cfg.nms)
-        return batched_nms(boxes, scores, cfg.nms)
+        from ssd_tpu.ops.postprocess import postprocess_detections
+        return postprocess_detections(
+            logits, deltas, self.anchors, self.cfg.nms,
+            use_pallas=self.cfg.nms.use_pallas and _on_tpu(),
+        )
 
 
 def _on_tpu() -> bool:

@@ -1,0 +1,58 @@
+"""Device mesh construction and sharding specs.
+
+The reference is single-process single-device (SURVEY.md §2 parallelism
+table); this framework's distribution layer is XLA collectives over a
+``jax.sharding.Mesh`` — no NCCL/MPI analog exists or is needed. The mesh is
+2-D ``(data, model)``:
+
+  * ``data`` — batch sharding for DP training/inference; gradient psum rides
+    ICI, inserted automatically by SPMD partitioning.
+  * ``model`` — reserved for channel-sharded convs (TP); size 1 in v1 per
+    SURVEY.md §2 ("design mesh axes so it can be added").
+
+Multi-host: call :func:`initialize_distributed` first (wraps
+``jax.distributed.initialize``), then build the mesh over the global device
+list; per-host data loading shards by ``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (no-op on a single host)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def create_mesh(devices=None, model_parallelism: int = 1) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n % model_parallelism:
+        raise ValueError(f"{n} devices not divisible by model={model_parallelism}")
+    arr = np.asarray(devices).reshape(n // model_parallelism, model_parallelism)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host-side batch dict onto the mesh, sharded on dim 0."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,138 @@
+"""The jitted, mesh-sharded training step.
+
+TPU-native counterpart of the reference's estimator ``model_fn`` body
+(SURVEY.md §3.1): the entire step — normalize, forward, target creation,
+losses, L2, backward, optimizer update, BN stat update — is ONE compiled XLA
+program under ``jax.jit`` over the mesh. The batch is sharded on the ``data``
+axis, state is replicated, and SPMD partitioning inserts the gradient
+all-reduce over ICI automatically. The train state buffer is donated so the
+optimizer update happens in place (no 2x param memory).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssd_tpu.config import Config
+from ssd_tpu.models.detector import Detector
+from ssd_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    t = cfg.train
+    if t.lr_schedule == "cosine":
+        main = optax.cosine_decay_schedule(
+            t.learning_rate, max(t.num_steps - t.warmup_steps, 1)
+        )
+    elif t.lr_schedule == "piecewise":
+        main = optax.piecewise_constant_schedule(
+            t.learning_rate,
+            {b: t.lr_rates[i + 1] / t.lr_rates[i]
+             for i, b in enumerate(t.lr_boundaries)},
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule: {t.lr_schedule}")
+    if t.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+        return optax.join_schedules([warmup, main], [t.warmup_steps])
+    return main
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    lr = make_lr_schedule(cfg)
+    if t.optimizer == "momentum":
+        opt = optax.sgd(lr, momentum=t.momentum, nesterov=True)
+    elif t.optimizer == "adam":
+        opt = optax.adam(lr)
+    else:
+        raise ValueError(f"unknown optimizer: {t.optimizer}")
+    chain = [opt]
+    if t.gradient_clip_norm > 0:
+        chain = [optax.clip_by_global_norm(t.gradient_clip_norm)] + chain
+    return optax.chain(*chain)
+
+
+def create_train_state(detector: Detector, rng: jax.Array,
+                       tx: optax.GradientTransformation) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    variables = detector.init(init_rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+
+
+def make_train_step(
+    detector: Detector, tx: optax.GradientTransformation
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Returns ``(state, batch) -> (state, metrics)`` — pure, jit-ready."""
+
+    def step_fn(state: TrainState, batch: dict):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            total, (metrics, new_state) = detector.loss(
+                variables, batch, train=True
+            )
+            return total, (metrics, new_state)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_model_state)), grads = grad_fn(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+            rng=jax.random.fold_in(state.rng, 1),
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def jit_train_step(step_fn, mesh) -> Callable:
+    """Shard the step over the mesh: batch on ``data``, state replicated,
+    state buffers donated."""
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(detector: Detector) -> Callable:
+    """Jittable predict step for evaluation: batch -> detections."""
+
+    def eval_fn(state: TrainState, images):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return detector.predict(variables, images)
+
+    return eval_fn

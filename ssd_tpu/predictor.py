@@ -1,0 +1,95 @@
+"""Inference front-end: the reference's public ``predict`` contract.
+
+TPU-native counterpart of the reference's export + notebook path (SURVEY.md
+§3.2/§3.3, L6/L7): instead of a frozen SavedModel, "export" is an orbax
+params checkpoint + the config JSON; ``Predictor`` loads them and serves a
+jit-compiled ``predict`` whose signature matches the reference:
+
+    predict(images uint8 (N, H, W, 3)) ->
+        {boxes (N, max_boxes, 4), scores (N, max_boxes),
+         labels (N, max_boxes), num_boxes (N,)}
+
+Host-side resize to the static model resolution is done here (uint8 in,
+uint8 out — 1 byte/px over PCIe); normalization runs on-device. Each
+(resolution, batch) pair compiles exactly once and is cached.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import Config
+from ssd_tpu.models.detector import Detector
+
+
+def resize_image_numpy(image: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor uint8 resize on host (PIL-free hot path)."""
+    h, w = image.shape[:2]
+    if (h, w) == (size, size):
+        return image
+    yi = (np.arange(size) * (h / size)).astype(np.int32)
+    xi = (np.arange(size) * (w / size)).astype(np.int32)
+    return image[yi][:, xi]
+
+
+class Predictor:
+    """Loads a detector + params and serves batched inference."""
+
+    def __init__(self, cfg: Config, variables: dict):
+        self.cfg = cfg
+        self.detector = Detector(cfg)
+        self.variables = variables
+        self._jitted = {}
+
+    # -------------------------------------------------------------- factory
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "Predictor":
+        from ssd_tpu.export import load_inference_artifact
+        cfg, variables = load_inference_artifact(path)
+        return cls(cfg, variables)
+
+    # -------------------------------------------------------------- serving
+
+    def _fn_for_batch(self, n: int):
+        if n not in self._jitted:
+            self._jitted[n] = jax.jit(self.detector.predict)
+        return self._jitted[n]
+
+    def __call__(self, images) -> dict:
+        return self.predict(images)
+
+    def predict(self, images) -> dict:
+        """images: uint8 array (H, W, 3) or (N, H, W, 3), any resolution."""
+        images = np.asarray(images)
+        single = images.ndim == 3
+        if single:
+            images = images[None]
+        s = self.cfg.image_size
+        if images.shape[1] != s or images.shape[2] != s:
+            images = np.stack([resize_image_numpy(im, s) for im in images])
+        images = images.astype(np.uint8)
+
+        out = self._fn_for_batch(images.shape[0])(
+            self.variables, jnp.asarray(images)
+        )
+        result = {
+            "boxes": np.asarray(out.boxes),
+            "scores": np.asarray(out.scores),
+            "labels": np.asarray(out.labels),
+            "num_boxes": np.asarray(out.num_boxes),
+        }
+        if single:
+            result = {k: v[0] for k, v in result.items()}
+        return result
+
+    def warmup(self, batch_size: int = 1) -> None:
+        """Pre-compile for a batch size (avoids first-call latency)."""
+        s = self.cfg.image_size
+        dummy = jnp.zeros((batch_size, s, s, 3), jnp.uint8)
+        jax.block_until_ready(
+            self._fn_for_batch(batch_size)(self.variables, dummy)
+        )

@@ -8,8 +8,10 @@ exercised in plain pytest without TPU hardware.
 import os
 
 # Force-override: the environment may pre-set JAX_PLATFORMS=axon (real TPU
-# tunnel); tests must run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# tunnel); tests must run on the virtual CPU mesh. Set SSD_TPU_TEST_REAL=1
+# to run the @pytest.mark.tpu tests against the real chip instead.
+if not os.environ.get("SSD_TPU_TEST_REAL"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,91 @@
+"""Pallas NMS kernel vs the numpy oracle, in interpret mode on CPU
+(SURVEY.md §4 "Kernel tests"). Real-TPU execution is covered by bench.py and
+the tpu-marked test below."""
+
+import jax
+import numpy as np
+import pytest
+
+from ssd_tpu.config import NMSConfig
+from ssd_tpu.ops.nms_pallas import batched_nms_pallas
+from tests.test_nms import nms_oracle
+
+
+def _random_instance(rng, n, a, c):
+    lo = rng.uniform(0, 0.7, (n, a, 2))
+    hi = lo + rng.uniform(0.05, 0.3, (n, a, 2))
+    boxes = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+    # tie-free scores so kernel/oracle order agree exactly
+    base = rng.permutation(n * a * c).astype(np.float32) / (n * a * c)
+    scores = base.reshape(n, a, c)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("n,a,c", [(1, 60, 4), (2, 200, 3)])
+def test_pallas_nms_matches_oracle(rng, n, a, c):
+    boxes, scores = _random_instance(rng, n, a, c)
+    cfg = NMSConfig(score_threshold=0.2, iou_threshold=0.5, max_boxes=400,
+                    pre_nms_top_k=a)
+    det = batched_nms_pallas(boxes, scores, cfg, interpret=True)
+
+    for i in range(n):
+        want = []
+        for cl in range(c):
+            for j in nms_oracle(boxes[i], scores[i, :, cl], 0.5, 0.2):
+                want.append((cl, round(float(scores[i, j, cl]), 6)))
+        nb = int(det.num_boxes[i])
+        got = [
+            (int(np.asarray(det.labels)[i, q]),
+             round(float(np.asarray(det.scores)[i, q]), 6))
+            for q in range(nb)
+        ]
+        assert sorted(got) == sorted(want)
+
+
+def test_pallas_matches_jnp_reference(rng):
+    from ssd_tpu.ops.nms import batched_nms
+    boxes, scores = _random_instance(rng, 2, 150, 5)
+    cfg = NMSConfig(score_threshold=0.3, iou_threshold=0.45, max_boxes=50,
+                    pre_nms_top_k=128)
+    a = batched_nms(boxes, scores, cfg)
+    b = batched_nms_pallas(boxes, scores, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.num_boxes), np.asarray(b.num_boxes))
+    nb = int(a.num_boxes[0])
+    np.testing.assert_allclose(
+        np.asarray(a.scores)[:, :nb], np.asarray(b.scores)[:, :nb], atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.labels)[:, :nb], np.asarray(b.labels)[:, :nb]
+    )
+
+
+def test_pallas_nms_adversarial_overlaps(rng):
+    # chains of boxes where each overlaps the next but not the one after
+    boxes = np.zeros((1, 8, 4), np.float32)
+    for i in range(8):
+        boxes[0, i] = [0.0, 0.06 * i, 0.2, 0.06 * i + 0.1]
+    scores = np.linspace(0.9, 0.5, 8, dtype=np.float32).reshape(1, 8, 1)
+    cfg = NMSConfig(score_threshold=0.1, iou_threshold=0.3, max_boxes=8,
+                    pre_nms_top_k=8)
+    det = batched_nms_pallas(boxes, scores, cfg, interpret=True)
+    want = nms_oracle(boxes[0], scores[0, :, 0], 0.3, 0.1)
+    assert int(det.num_boxes[0]) == len(want)
+
+
+def test_pallas_nms_empty():
+    boxes = np.zeros((1, 16, 4), np.float32)
+    scores = np.zeros((1, 16, 2), np.float32)
+    cfg = NMSConfig(score_threshold=0.5, max_boxes=5, pre_nms_top_k=16)
+    det = batched_nms_pallas(boxes, scores, cfg, interpret=True)
+    assert int(det.num_boxes[0]) == 0
+
+
+@pytest.mark.tpu
+def test_pallas_nms_on_tpu(rng):
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU")
+    boxes, scores = _random_instance(rng, 2, 300, 4)
+    cfg = NMSConfig(score_threshold=0.2, iou_threshold=0.5, max_boxes=100,
+                    pre_nms_top_k=256)
+    det = batched_nms_pallas(boxes, scores, cfg, interpret=False)
+    assert np.all(np.isfinite(np.asarray(det.scores)))

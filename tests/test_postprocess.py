@@ -1,0 +1,73 @@
+"""Candidate pre-selection + full postprocess path tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import Config, NMSConfig
+from ssd_tpu.ops.postprocess import postprocess_detections, select_candidates
+from ssd_tpu.ops.anchors import generate_anchors
+
+
+def _fake_outputs(rng, n, a, c):
+    logits = rng.normal(-4.0, 1.0, (n, a, c)).astype(np.float32)
+    # plant some confident detections
+    for i in range(n):
+        for j in rng.integers(0, a, 10):
+            logits[i, j, rng.integers(0, c)] = rng.uniform(2.0, 6.0)
+    deltas = rng.normal(0, 0.5, (n, a, 4)).astype(np.float32)
+    return jnp.asarray(logits), jnp.asarray(deltas)
+
+
+def test_select_candidates_keeps_confident_anchors(rng):
+    cfg = Config(num_classes=6, image_size=128)
+    anchors = jnp.asarray(generate_anchors(cfg.image_size, cfg.anchors))
+    a = anchors.shape[0]
+    logits, deltas = _fake_outputs(rng, 2, a, 6)
+    nms_cfg = NMSConfig(num_candidates=256)
+    boxes, scores = select_candidates(logits, deltas, anchors, nms_cfg,
+                                      exact=True)
+    assert boxes.shape == (2, 256, 4)
+    assert scores.shape == (2, 256, 6)
+    # the globally most confident anchor must be among the candidates
+    best_global = float(jax.nn.sigmoid(logits.max()))
+    np.testing.assert_allclose(float(scores.max()), best_global, rtol=1e-5)
+    # all candidate boxes valid
+    b = np.asarray(boxes)
+    assert np.all(b >= 0) and np.all(b <= 1)
+
+
+def test_postprocess_pallas_matches_jnp(rng):
+    cfg = Config(num_classes=6, image_size=128)
+    anchors = jnp.asarray(generate_anchors(cfg.image_size, cfg.anchors))
+    a = anchors.shape[0]
+    logits, deltas = _fake_outputs(rng, 2, a, 6)
+    nms_cfg = NMSConfig(num_candidates=256, pre_nms_top_k=128, max_boxes=50)
+
+    ref = postprocess_detections(logits, deltas, anchors, nms_cfg,
+                                 use_pallas=False, exact_topk=True)
+    ker = postprocess_detections(logits, deltas, anchors, nms_cfg,
+                                 use_pallas=True, interpret=True,
+                                 exact_topk=True)
+    np.testing.assert_array_equal(np.asarray(ref.num_boxes),
+                                  np.asarray(ker.num_boxes))
+    nb = int(ref.num_boxes.max())
+    np.testing.assert_allclose(np.asarray(ref.scores)[:, :nb],
+                               np.asarray(ker.scores)[:, :nb], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref.labels)[:, :nb],
+                                  np.asarray(ker.labels)[:, :nb])
+    np.testing.assert_allclose(np.asarray(ref.boxes)[:, :nb],
+                               np.asarray(ker.boxes)[:, :nb], atol=1e-6)
+
+
+def test_postprocess_respects_score_threshold(rng):
+    cfg = Config(num_classes=4, image_size=128)
+    anchors = jnp.asarray(generate_anchors(cfg.image_size, cfg.anchors))
+    a = anchors.shape[0]
+    logits = jnp.full((1, a, 4), -10.0)  # nothing confident
+    deltas = jnp.zeros((1, a, 4))
+    nms_cfg = NMSConfig(score_threshold=0.3, num_candidates=128)
+    det = postprocess_detections(logits, deltas, anchors, nms_cfg,
+                                 exact_topk=True)
+    assert int(det.num_boxes[0]) == 0

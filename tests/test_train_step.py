@@ -1,0 +1,103 @@
+"""Train-step tests: sharded execution on the 8-device CPU mesh, and the
+classic overfit-a-tiny-dataset correctness probe (SURVEY.md §7 stage 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_tpu.config import Config, ModelConfig, TrainConfig
+from ssd_tpu.models.detector import Detector
+from ssd_tpu.parallel import (
+    create_mesh, create_train_state, jit_train_step, make_optimizer,
+    make_train_step, shard_batch,
+)
+
+TINY = Config(
+    num_classes=3,
+    image_size=64,
+    model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                      fpn_channels=32, head_depth=1, compute_dtype="float32"),
+    train=TrainConfig(batch_size=8, num_steps=100, learning_rate=0.01,
+                      warmup_steps=0, lr_schedule="cosine"),
+)
+
+
+def _tiny_batch(rng, n=8, size=64, max_gt=4):
+    images = rng.integers(0, 255, (n, size, size, 3)).astype(np.uint8)
+    boxes = np.zeros((n, max_gt, 4), np.float32)
+    labels = np.zeros((n, max_gt), np.int32)
+    num = np.ones((n,), np.int32)
+    for i in range(n):
+        boxes[i, 0] = [0.2, 0.2, 0.7, 0.7]
+        labels[i, 0] = i % 3
+    return {"images": images, "boxes": boxes, "labels": labels, "num_boxes": num}
+
+
+def test_train_step_runs_on_8_device_mesh(rng):
+    assert len(jax.devices()) == 8
+    mesh = create_mesh()
+    det = Detector(TINY)
+    tx = make_optimizer(TINY)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    step = jit_train_step(make_train_step(det, tx), mesh)
+
+    batch = shard_batch(mesh, _tiny_batch(rng))
+    state, metrics = step(state, batch)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["num_positives"]) >= 8  # one gt per image
+
+
+def test_gradients_are_synced_across_shards(rng):
+    # After one step from a replicated init, params must remain identical
+    # on every device (psum'd grads) — catches missing all-reduce.
+    mesh = create_mesh()
+    det = Detector(TINY)
+    tx = make_optimizer(TINY)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    step = jit_train_step(make_train_step(det, tx), mesh)
+    batch = shard_batch(mesh, _tiny_batch(rng))
+    state, _ = step(state, batch)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+@pytest.mark.slow
+def test_overfit_tiny_dataset(rng):
+    # Loss on a fixed single batch must drop substantially within 60 steps.
+    cfg = TINY
+    mesh = create_mesh()
+    det = Detector(cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    step = jit_train_step(make_train_step(det, tx), mesh)
+    batch = shard_batch(mesh, _tiny_batch(rng))
+
+    first = None
+    for _ in range(60):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
+
+
+def test_compile_discipline():
+    # Exactly one compilation for repeated same-shape calls (SURVEY.md §4),
+    # given the state is committed to the mesh up front (as train.py does).
+    from ssd_tpu.parallel import replicated
+    mesh = create_mesh()
+    det = Detector(TINY)
+    tx = make_optimizer(TINY)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    state = jax.device_put(state, replicated(mesh))
+    step = jit_train_step(make_train_step(det, tx), mesh)
+    r = np.random.default_rng(1)
+    for _ in range(3):
+        batch = shard_batch(mesh, _tiny_batch(r))
+        state, _ = step(state, batch)
+    assert step._cache_size() == 1
