@@ -48,6 +48,7 @@ class ModelConfig:
     head_channels: int = 0  # 0 -> same as fpn_channels
     compute_dtype: str = "bfloat16"  # conv compute dtype on TPU
     norm: str = "batch"  # batch | group
+    bn_momentum: float = 0.997  # lower (e.g. 0.9) for short runs/tests
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,8 +87,9 @@ class Pipeline:
         self.num_hosts = num_hosts
         self.seed = seed
         self.prefetch = prefetch
-        self.epoch = 0
-        self.position = 0  # batches consumed within the epoch
+        self.epoch = 0      # production cursor (prefetch thread)
+        self.position = 0
+        self.consumed = 0   # batches actually handed to the consumer
         # host-local example ids
         self._local = np.arange(len(self.index))[host_id::num_hosts]
         if len(self._local) < self.batch_size:
@@ -99,13 +100,19 @@ class Pipeline:
     # ------------------------------------------------------------ state
 
     def state(self) -> dict:
-        return {"epoch": self.epoch, "position": self.position,
+        """Exact-resume state, derived from CONSUMED batches (the prefetch
+        thread's production cursor runs ahead; checkpointing that would skip
+        prefetched-but-unconsumed batches on resume)."""
+        nb = max(self.batches_per_epoch(), 1)
+        return {"epoch": self.consumed // nb, "position": self.consumed % nb,
                 "seed": self.seed}
 
     def restore(self, state: dict) -> None:
-        self.epoch = int(state["epoch"])
-        self.position = int(state["position"])
         self.seed = int(state["seed"])
+        nb = max(self.batches_per_epoch(), 1)
+        self.consumed = int(state["epoch"]) * nb + int(state["position"])
+        self.epoch = self.consumed // nb
+        self.position = self.consumed % nb
 
     # ------------------------------------------------------------ epochs
 
@@ -177,12 +184,14 @@ class Pipeline:
             order = self._epoch_order(self.epoch)
             nb = len(order) // self.batch_size
             while self.position < nb:
+                pos = self.position
                 ids = order[
-                    self.position * self.batch_size:
-                    (self.position + 1) * self.batch_size
+                    pos * self.batch_size:(pos + 1) * self.batch_size
                 ]
+                # advance BEFORE yielding: a handed-out batch counts as
+                # consumed, so checkpointed state never replays it
+                self.position = pos + 1
                 yield self._make_batch(ids, self.epoch)
-                self.position += 1
             if not self.is_training:
                 return
             self.epoch += 1
@@ -209,6 +218,7 @@ class Pipeline:
                 batch = q.get()
                 if batch is None:
                     return
+                self.consumed += 1
                 yield batch
         finally:
             stop.set()

@@ -36,9 +36,18 @@ def load_inference_artifact(path: str) -> tuple[Config, dict]:
     cfg = Config.load(os.path.join(path, "config.json"))
 
     # Restore with an abstract target so dtypes/shapes come from the model.
+    # Pin a concrete sharding (replicated-on-one-device): the artifact must
+    # restore on any topology, not just the one that saved it.
+    from jax.sharding import SingleDeviceSharding
+
     from ssd_tpu.models.detector import Detector
     det = Detector(cfg)
     abstract = jax.eval_shape(lambda: det.init(jax.random.PRNGKey(0)))
+    sharding = SingleDeviceSharding(jax.local_devices()[0])
+    abstract = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sharding),
+        abstract,
+    )
     target = {
         "params": abstract["params"],
         "batch_stats": abstract.get("batch_stats", {}),

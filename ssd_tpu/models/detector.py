@@ -53,11 +53,13 @@ def normalize_images(images_uint8: jnp.ndarray,
 def build_backbone(cfg: Config) -> nn.Module:
     m = cfg.model
     if m.backbone == "mobilenet":
-        return MobileNetV1(m.width_multiplier, m.compute_dtype, name="backbone")
+        return MobileNetV1(m.width_multiplier, m.compute_dtype,
+                           m.bn_momentum, name="backbone")
     if m.backbone == "shufflenet":
-        return ShuffleNetV2(m.width_multiplier, m.compute_dtype, name="backbone")
+        return ShuffleNetV2(m.width_multiplier, m.compute_dtype,
+                            m.bn_momentum, name="backbone")
     if m.backbone == "resnet50":
-        return ResNet50(m.compute_dtype, name="backbone")
+        return ResNet50(m.compute_dtype, m.bn_momentum, name="backbone")
     raise ValueError(f"unknown backbone: {m.backbone}")
 
 

@@ -31,6 +31,7 @@ class ConvBN(nn.Module):
     use_norm: bool = True
     act: Callable | None = nn.relu6
     compute_dtype: str = "bfloat16"
+    bn_momentum: float = BATCH_NORM_MOMENTUM
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -49,7 +50,7 @@ class ConvBN(nn.Module):
         if self.use_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=BATCH_NORM_MOMENTUM,
+                momentum=self.bn_momentum,
                 epsilon=BATCH_NORM_EPSILON,
                 dtype=dtype,
                 param_dtype=jnp.float32,
@@ -66,17 +67,20 @@ class DepthwiseSeparable(nn.Module):
     features: int
     strides: int = 1
     compute_dtype: str = "bfloat16"
+    bn_momentum: float = BATCH_NORM_MOMENTUM
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         x = ConvBN(
             in_ch, kernel_size=3, strides=self.strides, groups=in_ch,
-            compute_dtype=self.compute_dtype, name="depthwise",
+            compute_dtype=self.compute_dtype, bn_momentum=self.bn_momentum,
+            name="depthwise",
         )(x, train)
         x = ConvBN(
             self.features, kernel_size=1,
-            compute_dtype=self.compute_dtype, name="pointwise",
+            compute_dtype=self.compute_dtype, bn_momentum=self.bn_momentum,
+            name="pointwise",
         )(x, train)
         return x
 

@@ -22,24 +22,29 @@ def _width(ch: int, multiplier: float) -> int:
 class MobileNetV1(nn.Module):
     width_multiplier: float = 1.0
     compute_dtype: str = "bfloat16"
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = lambda ch: _width(ch, self.width_multiplier)
-        dt = self.compute_dtype
+        import functools
+        DS = functools.partial(DepthwiseSeparable,
+                               compute_dtype=self.compute_dtype,
+                               bn_momentum=self.bn_momentum)
 
-        x = ConvBN(w(32), strides=2, compute_dtype=dt, name="stem")(x, train)   # /2
-        x = DepthwiseSeparable(w(64), compute_dtype=dt, name="ds1")(x, train)
-        x = DepthwiseSeparable(w(128), strides=2, compute_dtype=dt, name="ds2")(x, train)  # /4
-        x = DepthwiseSeparable(w(128), compute_dtype=dt, name="ds3")(x, train)
-        x = DepthwiseSeparable(w(256), strides=2, compute_dtype=dt, name="ds4")(x, train)  # /8
-        x = DepthwiseSeparable(w(256), compute_dtype=dt, name="ds5")(x, train)
+        x = ConvBN(w(32), strides=2, compute_dtype=self.compute_dtype,
+                   bn_momentum=self.bn_momentum, name="stem")(x, train)  # /2
+        x = DS(w(64), name="ds1")(x, train)
+        x = DS(w(128), strides=2, name="ds2")(x, train)  # /4
+        x = DS(w(128), name="ds3")(x, train)
+        x = DS(w(256), strides=2, name="ds4")(x, train)  # /8
+        x = DS(w(256), name="ds5")(x, train)
         c3 = x
-        x = DepthwiseSeparable(w(512), strides=2, compute_dtype=dt, name="ds6")(x, train)  # /16
+        x = DS(w(512), strides=2, name="ds6")(x, train)  # /16
         for i in range(5):
-            x = DepthwiseSeparable(w(512), compute_dtype=dt, name=f"ds{7 + i}")(x, train)
+            x = DS(w(512), name=f"ds{7 + i}")(x, train)
         c4 = x
-        x = DepthwiseSeparable(w(1024), strides=2, compute_dtype=dt, name="ds12")(x, train)  # /32
-        x = DepthwiseSeparable(w(1024), compute_dtype=dt, name="ds13")(x, train)
+        x = DS(w(1024), strides=2, name="ds12")(x, train)  # /32
+        x = DS(w(1024), name="ds13")(x, train)
         c5 = x
         return {"c3": c3, "c4": c4, "c5": c5}

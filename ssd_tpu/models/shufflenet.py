@@ -33,16 +33,18 @@ class ShuffleBlock(nn.Module):
     """Basic unit: split channels, transform one half, concat + shuffle."""
 
     compute_dtype: str = "bfloat16"
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1] // 2
         shortcut, branch = x[..., :c], x[..., c:]
-        dt = self.compute_dtype
-        branch = ConvBN(c, kernel_size=1, compute_dtype=dt, name="pw1")(branch, train)
-        branch = ConvBN(c, kernel_size=3, groups=c, act=None,
-                        compute_dtype=dt, name="dw")(branch, train)
-        branch = ConvBN(c, kernel_size=1, compute_dtype=dt, name="pw2")(branch, train)
+        import functools
+        CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
+                               bn_momentum=self.bn_momentum)
+        branch = CB(c, kernel_size=1, name="pw1")(branch, train)
+        branch = CB(c, kernel_size=3, groups=c, act=None, name="dw")(branch, train)
+        branch = CB(c, kernel_size=1, name="pw2")(branch, train)
         out = jnp.concatenate([shortcut, branch], axis=-1)
         return channel_shuffle(out, 2)
 
@@ -52,21 +54,24 @@ class ShuffleDownBlock(nn.Module):
 
     features: int
     compute_dtype: str = "bfloat16"
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.features // 2
         in_ch = x.shape[-1]
-        dt = self.compute_dtype
+        import functools
+        CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
+                               bn_momentum=self.bn_momentum)
 
-        left = ConvBN(in_ch, kernel_size=3, strides=2, groups=in_ch, act=None,
-                      compute_dtype=dt, name="left_dw")(x, train)
-        left = ConvBN(c, kernel_size=1, compute_dtype=dt, name="left_pw")(left, train)
+        left = CB(in_ch, kernel_size=3, strides=2, groups=in_ch, act=None,
+                  name="left_dw")(x, train)
+        left = CB(c, kernel_size=1, name="left_pw")(left, train)
 
-        right = ConvBN(c, kernel_size=1, compute_dtype=dt, name="right_pw1")(x, train)
-        right = ConvBN(c, kernel_size=3, strides=2, groups=c, act=None,
-                       compute_dtype=dt, name="right_dw")(right, train)
-        right = ConvBN(c, kernel_size=1, compute_dtype=dt, name="right_pw2")(right, train)
+        right = CB(c, kernel_size=1, name="right_pw1")(x, train)
+        right = CB(c, kernel_size=3, strides=2, groups=c, act=None,
+                   name="right_dw")(right, train)
+        right = CB(c, kernel_size=1, name="right_pw2")(right, train)
 
         out = jnp.concatenate([left, right], axis=-1)
         return channel_shuffle(out, 2)
@@ -75,27 +80,32 @@ class ShuffleDownBlock(nn.Module):
 class ShuffleNetV2(nn.Module):
     width_multiplier: float = 1.0
     compute_dtype: str = "bfloat16"
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w2, w3, w4 = _stage_widths(self.width_multiplier)
-        dt = self.compute_dtype
+        import functools
+        kw = dict(compute_dtype=self.compute_dtype,
+                  bn_momentum=self.bn_momentum)
+        Down = functools.partial(ShuffleDownBlock, **kw)
+        Block = functools.partial(ShuffleBlock, **kw)
 
-        x = ConvBN(24, strides=2, compute_dtype=dt, name="stem")(x, train)  # /2
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")          # /4
+        x = ConvBN(24, strides=2, name="stem", **kw)(x, train)      # /2
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # /4
 
-        x = ShuffleDownBlock(w2, compute_dtype=dt, name="stage2_down")(x, train)  # /8
+        x = Down(w2, name="stage2_down")(x, train)  # /8
         for i in range(3):
-            x = ShuffleBlock(compute_dtype=dt, name=f"stage2_b{i}")(x, train)
+            x = Block(name=f"stage2_b{i}")(x, train)
         c3 = x
 
-        x = ShuffleDownBlock(w3, compute_dtype=dt, name="stage3_down")(x, train)  # /16
+        x = Down(w3, name="stage3_down")(x, train)  # /16
         for i in range(7):
-            x = ShuffleBlock(compute_dtype=dt, name=f"stage3_b{i}")(x, train)
+            x = Block(name=f"stage3_b{i}")(x, train)
         c4 = x
 
-        x = ShuffleDownBlock(w4, compute_dtype=dt, name="stage4_down")(x, train)  # /32
+        x = Down(w4, name="stage4_down")(x, train)  # /32
         for i in range(3):
-            x = ShuffleBlock(compute_dtype=dt, name=f"stage4_b{i}")(x, train)
+            x = Block(name=f"stage4_b{i}")(x, train)
         c5 = x
         return {"c3": c3, "c4": c4, "c5": c5}

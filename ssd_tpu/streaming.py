@@ -1,0 +1,87 @@
+"""High-resolution streaming inference (BASELINE config 5: 1024x1024).
+
+The framework's "context scaling" story (SURVEY.md §5 long-context row):
+resolution is the detector's scale axis. The static-shape pipeline compiles
+once per (resolution, batch); this module adds the streaming runtime around
+it for video-frame-rate serving:
+
+  * a bounded in-flight window (default 2) of dispatched-but-unfetched
+    steps — the host uploads frame N+1 and the device runs frame N
+    concurrently (JAX dispatch is async; blocking only happens on result
+    fetch), hiding host->device copy behind compute;
+  * uint8 frames over PCIe (4x cheaper than float), normalize on-chip;
+  * per-frame latency and throughput accounting.
+
+Usage:
+    s = StreamingDetector(cfg, variables)     # cfg.image_size = 1024
+    for frame in video:                        # uint8 (H, W, 3)
+        for det in s.push(frame): consume(det)
+    for det in s.flush(): consume(det)
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import Config
+from ssd_tpu.models.detector import Detector
+
+
+class StreamingDetector:
+    def __init__(self, cfg: Config, variables: dict, depth: int = 2):
+        self.cfg = cfg
+        self.detector = Detector(cfg)
+        self.variables = variables
+        self.depth = depth
+        self._predict = jax.jit(
+            lambda v, im: self.detector.predict(v, im[None])
+        )
+        self._inflight: collections.deque = collections.deque()
+        self._lat = collections.deque(maxlen=256)
+
+    def warmup(self) -> None:
+        s = self.cfg.image_size
+        out = self._predict(self.variables, jnp.zeros((s, s, 3), jnp.uint8))
+        jax.block_until_ready(out)
+
+    def _fetch_one(self) -> dict:
+        t0, out = self._inflight.popleft()
+        out = jax.device_get(out)
+        self._lat.append(time.perf_counter() - t0)
+        return {
+            "boxes": np.asarray(out.boxes)[0],
+            "scores": np.asarray(out.scores)[0],
+            "labels": np.asarray(out.labels)[0],
+            "num_boxes": int(np.asarray(out.num_boxes)[0]),
+        }
+
+    def push(self, frame: np.ndarray):
+        """Submit one uint8 frame; yields any completed detections."""
+        s = self.cfg.image_size
+        if frame.shape[:2] != (s, s):
+            from ssd_tpu.data import native
+            frame = native.resize(np.ascontiguousarray(frame), s, s)
+        out = self._predict(self.variables, jnp.asarray(frame))
+        self._inflight.append((time.perf_counter(), out))
+        while len(self._inflight) > self.depth:
+            yield self._fetch_one()
+
+    def flush(self):
+        while self._inflight:
+            yield self._fetch_one()
+
+    def stats(self) -> dict:
+        lat = sorted(self._lat)
+        if not lat:
+            return {}
+        return {
+            "p50_latency_s": lat[len(lat) // 2],
+            "p95_latency_s": lat[int(len(lat) * 0.95)],
+            "fps_estimate": 1.0 / max(np.mean(lat) / max(self.depth, 1), 1e-9),
+        }

@@ -1,0 +1,172 @@
+"""Training driver — the reference's ``train.py`` re-imagined (SURVEY.md §3.1).
+
+The reference wires ``tf.estimator.train_and_evaluate``; here the loop is
+explicit and the whole step is one compiled XLA program over the mesh:
+
+    python -m ssd_tpu.train --config configs/coco_mobilenet_640.json \
+        --workdir /tmp/run1
+
+Subsystems wired in (SURVEY.md §5): deterministic resumable input pipeline,
+orbax async checkpointing with iterator state, SIGTERM preemption handler
+(final sync checkpoint before the TPU VM goes away), JSONL/stdout metrics
+with step-vs-data timing, periodic COCO-mAP evaluation, optional profiler
+trace capture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+
+import jax
+import numpy as np
+
+from ssd_tpu.config import Config
+from ssd_tpu.eval.coco_map import DetectionEvaluator
+from ssd_tpu.models.detector import Detector
+from ssd_tpu.parallel import (
+    create_mesh, create_train_state, jit_train_step, make_optimizer,
+    make_train_step, replicated, shard_batch,
+)
+from ssd_tpu.utils.checkpoint import TrainCheckpointer, abstract_train_state
+from ssd_tpu.utils.logging import MetricLogger
+
+
+def evaluate(detector: Detector, state, cfg: Config, host_id: int,
+             num_hosts: int, max_batches: int | None = None) -> dict:
+    """COCO-style mAP over the validation set with the jitted predict."""
+    from ssd_tpu.data.pipeline import Pipeline
+
+    predict = jax.jit(
+        lambda variables, images: detector.predict(variables, images)
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    evaluator = DetectionEvaluator(cfg.num_classes)
+    pipeline = Pipeline(
+        cfg.data.val_file_pattern, cfg, is_training=False,
+        batch_size=max(cfg.train.batch_size // num_hosts, 1),
+        host_id=host_id, num_hosts=num_hosts,
+    )
+    for i, batch in enumerate(pipeline):
+        if max_batches is not None and i >= max_batches:
+            break
+        out = predict(variables, batch["images"])
+        evaluator.add_batch(
+            {"boxes": np.asarray(out.boxes), "scores": np.asarray(out.scores),
+             "labels": np.asarray(out.labels),
+             "num_boxes": np.asarray(out.num_boxes)},
+            batch["boxes"], batch["labels"], batch["num_boxes"],
+        )
+    return evaluator.result()
+
+
+def train(cfg: Config, workdir: str, resume: bool = True,
+          max_steps: int | None = None) -> dict:
+    """Run the training loop; returns final metrics."""
+    from ssd_tpu.data.pipeline import Pipeline
+
+    host_id = jax.process_index()
+    num_hosts = jax.process_count()
+
+    mesh = create_mesh()
+    detector = Detector(cfg)
+    tx = make_optimizer(cfg)
+    step_fn = jit_train_step(make_train_step(detector, tx), mesh)
+
+    ckpt = TrainCheckpointer(
+        os.path.join(workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
+    )
+    logger = MetricLogger(workdir if host_id == 0 else None)
+
+    pipeline = Pipeline(
+        cfg.data.train_file_pattern, cfg, is_training=True,
+        batch_size=cfg.train.batch_size // num_hosts,
+        host_id=host_id, num_hosts=num_hosts, seed=cfg.train.seed,
+    )
+
+    # ----- init or resume -------------------------------------------------
+    latest = ckpt.latest_step() if resume else None
+    if latest is not None:
+        abstract = abstract_train_state(detector, tx)
+        state, it_state = ckpt.restore(abstract)
+        if it_state:
+            pipeline.restore(it_state)
+        print(f"resumed from step {latest}", flush=True)
+    else:
+        state = create_train_state(
+            detector, jax.random.PRNGKey(cfg.train.seed), tx
+        )
+    state = jax.device_put(state, replicated(mesh))
+
+    # ----- preemption handler --------------------------------------------
+    preempted = {"flag": False}
+
+    def _sigterm(signum, frame):
+        preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
+    # ----- loop -----------------------------------------------------------
+    num_steps = max_steps or cfg.train.num_steps
+    metrics = {}
+    data_iter = iter(pipeline)
+    logger._last = __import__("time").perf_counter()
+    while int(jax.device_get(state.step)) < num_steps:
+        batch = next(data_iter)
+        logger.tick_data()
+        state, metrics = step_fn(state, shard_batch(mesh, batch))
+        step = int(jax.device_get(state.step))
+        logger.tick_step()
+
+        if step % cfg.train.log_every == 0 and host_id == 0:
+            logger.log(step, metrics)
+        if step % cfg.train.checkpoint_every == 0 or preempted["flag"]:
+            ckpt.save(state, pipeline.state(), force=preempted["flag"])
+        if preempted["flag"]:
+            print("SIGTERM received: final checkpoint written, exiting",
+                  flush=True)
+            break
+        if cfg.train.eval_every and step % cfg.train.eval_every == 0:
+            try:
+                result = evaluate(detector, state, cfg, host_id, num_hosts)
+                if host_id == 0:
+                    logger.log(step, {}, extra={
+                        "mAP": result["mAP"], "AP50": result["AP50"],
+                    })
+            except FileNotFoundError:
+                pass  # no val set configured
+
+    ckpt.save(state, pipeline.state(), force=True)
+    ckpt.wait()
+    ckpt.close()
+    logger.close()
+
+    if host_id == 0 and not preempted["flag"]:
+        # inference artifact alongside the training checkpoints — the
+        # reference's save.py step, folded into the driver (SURVEY.md §3.3)
+        from ssd_tpu.export import save_inference_artifact
+        save_inference_artifact(
+            os.path.join(workdir, "export"), cfg,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+    return {k: float(jax.device_get(v)) for k, v in metrics.items()}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True, help="path to config JSON")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--max-steps", type=int, default=None)
+    args = p.parse_args()
+
+    cfg = Config.load(args.config)
+    os.makedirs(args.workdir, exist_ok=True)
+    cfg.save(os.path.join(args.workdir, "config.json"))
+    train(cfg, args.workdir, resume=not args.no_resume,
+          max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

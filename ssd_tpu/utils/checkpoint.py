@@ -34,6 +34,8 @@ class TrainCheckpointer:
     def save(self, state: TrainState, iterator_state: dict | None = None,
              force: bool = False) -> None:
         step = int(jax.device_get(state.step))
+        if step in (self.manager.all_steps() or []):
+            return  # already checkpointed (e.g. final save == periodic save)
         payload = {"state": ocp.args.StandardSave(state)}
         if iterator_state is not None:
             payload["iterator"] = ocp.args.JsonSave(iterator_state)

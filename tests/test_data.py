@@ -1,0 +1,183 @@
+"""Data layer tests: tfrecord wire format, augmentations, pipeline."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ssd_tpu.config import Config, DataConfig, ModelConfig
+from ssd_tpu.data import native
+from ssd_tpu.data.augment import (augment_example, random_crop_with_boxes,
+                                  random_flip)
+from ssd_tpu.data.pipeline import Pipeline, ShardIndex
+from ssd_tpu.data.tfrecord import (RecordWriter, decode_detection_example,
+                                   encode_detection_example, read_records,
+                                   record_offsets)
+
+
+def make_jpeg(rng, h=96, w=128):
+    img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+def write_dataset(path, rng, n=12):
+    with RecordWriter(path) as w:
+        for i in range(n):
+            boxes = np.array([[0.2, 0.2, 0.6, 0.6], [0.1, 0.5, 0.5, 0.9]],
+                             np.float32)[: 1 + i % 2]
+            labels = np.arange(len(boxes), dtype=np.int64)
+            w.write(encode_detection_example(make_jpeg(rng), boxes, labels))
+    return path
+
+
+def test_example_roundtrip(rng):
+    boxes = rng.uniform(0, 1, (5, 4)).astype(np.float32)
+    labels = rng.integers(0, 10, 5)
+    payload = encode_detection_example(b"\xff\xd8jpg", boxes, labels)
+    j, b, l = decode_detection_example(payload)
+    assert j == b"\xff\xd8jpg"
+    np.testing.assert_allclose(b, boxes, atol=1e-7)
+    np.testing.assert_array_equal(l, labels)
+
+
+def test_example_roundtrip_empty_boxes():
+    payload = encode_detection_example(
+        b"x", np.zeros((0, 4), np.float32), np.zeros(0, np.int64)
+    )
+    j, b, l = decode_detection_example(payload)
+    assert b.shape == (0, 4) and len(l) == 0
+
+
+def test_record_framing_and_offsets(tmp_path, rng):
+    p = write_dataset(str(tmp_path / "a.tfrecords"), rng, 7)
+    payloads = list(read_records(p, verify_crc=True))
+    assert len(payloads) == 7
+    offs = record_offsets(p)
+    assert len(offs) == 7
+    with open(p, "rb") as f:
+        f.seek(offs[3][0])
+        assert f.read(offs[3][1]) == payloads[3]
+
+
+def test_shard_index_random_access(tmp_path, rng):
+    p1 = write_dataset(str(tmp_path / "a.tfrecords"), rng, 5)
+    p2 = write_dataset(str(tmp_path / "b.tfrecords"), rng, 4)
+    idx = ShardIndex([p1, p2])
+    assert len(idx) == 9
+    direct = list(read_records(p2))
+    assert idx.read(5 + 2) == direct[2]
+
+
+def test_crop_preserves_box_validity(rng):
+    image = rng.integers(0, 255, (100, 150, 3)).astype(np.uint8)
+    boxes = np.array([[0.3, 0.3, 0.7, 0.7]], np.float32)
+    labels = np.array([2])
+    for trial in range(20):
+        r = np.random.default_rng(trial)
+        img, b, l = random_crop_with_boxes(image, boxes, labels, r)
+        assert img.size > 0
+        if len(b):
+            assert np.all(b >= -1e-6) and np.all(b <= 1 + 1e-6)
+            assert np.all(b[:, 2] >= b[:, 0]) and np.all(b[:, 3] >= b[:, 1])
+            assert len(l) == len(b)
+
+
+def test_flip_flips_pixels_and_boxes(rng):
+    image = np.zeros((10, 10, 3), np.uint8)
+    image[:, :5] = 255  # left half white
+    boxes = np.array([[0.0, 0.0, 1.0, 0.5]], np.float32)
+    r = np.random.default_rng(0)
+    img, b = random_flip(image, boxes, r, probability=1.0)
+    assert img[0, -1, 0] == 255 and img[0, 0, 0] == 0
+    np.testing.assert_allclose(b, [[0.0, 0.5, 1.0, 1.0]], atol=1e-6)
+
+
+def _small_cfg():
+    return Config(
+        num_classes=4, image_size=64,
+        model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                          fpn_channels=32, head_depth=1,
+                          compute_dtype="float32"),
+        data=DataConfig(max_gt_boxes=8),
+    )
+
+
+def test_pipeline_contract(tmp_path, rng):
+    p = write_dataset(str(tmp_path / "t.tfrecords"), rng, 12)
+    cfg = _small_cfg()
+    pipe = Pipeline(p, cfg, is_training=True, batch_size=4, seed=1)
+    batch = next(iter(pipe))
+    assert batch["images"].shape == (4, 64, 64, 3)
+    assert batch["images"].dtype == np.uint8
+    assert batch["boxes"].shape == (4, 8, 4)
+    assert batch["labels"].shape == (4, 8)
+    assert batch["num_boxes"].shape == (4,)
+    assert np.all(batch["num_boxes"] >= 0)
+    # images should have real content (not all zeros)
+    assert batch["images"].mean() > 10
+
+
+def test_pipeline_determinism_and_resume(tmp_path, rng):
+    p = write_dataset(str(tmp_path / "t.tfrecords"), rng, 12)
+    cfg = _small_cfg()
+
+    pipe1 = Pipeline(p, cfg, is_training=True, batch_size=4, seed=7)
+    it1 = pipe1._generate()
+    batches1 = [next(it1) for _ in range(5)]
+
+    # fresh pipeline, same seed -> identical stream
+    pipe2 = Pipeline(p, cfg, is_training=True, batch_size=4, seed=7)
+    it2 = pipe2._generate()
+    batches2 = [next(it2) for _ in range(5)]
+    for a, b in zip(batches1, batches2):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+
+    # resume from saved state after consuming 3 batches -> stream continues
+    # at batch 3 (state derives from CONSUMED batches; the prefetch thread
+    # may have produced further ahead)
+    pipe3 = Pipeline(p, cfg, is_training=True, batch_size=4, seed=0)
+    it3 = iter(pipe3)
+    for i in range(3):
+        next(it3)
+    state_after_3 = pipe3.state()
+    assert state_after_3 == {"epoch": 1, "position": 0, "seed": 0}  # nb=3
+
+    pipe4 = Pipeline(p, cfg, is_training=True, batch_size=4, seed=0)
+    pipe4.restore(state_after_3)
+    b4 = next(iter(pipe4))
+    b3 = next(it3)
+    np.testing.assert_array_equal(b3["images"], b4["images"])
+
+
+def test_pipeline_multihost_sharding(tmp_path, rng):
+    p = write_dataset(str(tmp_path / "t.tfrecords"), rng, 12)
+    cfg = _small_cfg()
+    seen = set()
+    for host in range(2):
+        pipe = Pipeline(p, cfg, is_training=False, batch_size=2,
+                        host_id=host, num_hosts=2)
+        ids = set(pipe._local.tolist())
+        assert not (seen & ids)
+        seen |= ids
+    assert len(seen) == 12
+
+
+def test_eval_pipeline_terminates(tmp_path, rng):
+    p = write_dataset(str(tmp_path / "t.tfrecords"), rng, 8)
+    cfg = _small_cfg()
+    pipe = Pipeline(p, cfg, is_training=False, batch_size=4)
+    batches = list(pipe)
+    assert len(batches) == 2
+
+
+def test_native_decode_matches_pil(rng):
+    data = make_jpeg(rng, 64, 80)
+    ours = native.decode_jpeg(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == pil.shape
+    assert np.abs(ours.astype(int) - pil.astype(int)).mean() < 2.0
