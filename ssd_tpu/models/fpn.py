@@ -84,8 +84,11 @@ class Subnet(nn.Module):
             x = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=dt,
                         param_dtype=jnp.float32, name=f"conv{i}")(x)
             x = nn.relu(x)
+        # Prediction conv stays in compute dtype: the (N, A, C) logits are
+        # the model's largest tensor (786MB at f32 for b32/640/80-class);
+        # bf16 halves that HBM traffic. Loss/postprocess upcast to f32.
         x = nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=jnp.float32,
+            self.out_channels, (3, 3), padding="SAME", dtype=dt,
             param_dtype=jnp.float32,
             bias_init=nn.initializers.constant(self.final_bias_init),
             kernel_init=nn.initializers.normal(0.01),

@@ -42,8 +42,9 @@ def select_candidates(
     n, a, c = logits.shape
     q = min(cfg.num_candidates, a)
 
-    logits = logits.astype(jnp.float32)
-    max_logit = jnp.max(logits, axis=-1)  # (N, A)
+    # Reduce in the model's native dtype (bf16 halves the HBM read of the
+    # largest tensor); only the Q selected candidates are upcast.
+    max_logit = jnp.max(logits, axis=-1).astype(jnp.float32)  # (N, A)
     # score_threshold in logit space; sub-threshold anchors sink below any
     # real candidate.
     logit_thr = math.log(cfg.score_threshold / (1.0 - cfg.score_threshold))
@@ -54,7 +55,9 @@ def select_candidates(
     else:
         _, idx = jax.lax.approx_max_k(max_logit, q, recall_target=0.98)
 
-    cand_logits = jnp.take_along_axis(logits, idx[..., None], axis=1)  # (N,Q,C)
+    cand_logits = jnp.take_along_axis(
+        logits, idx[..., None], axis=1
+    ).astype(jnp.float32)  # (N, Q, C)
     cand_deltas = jnp.take_along_axis(
         deltas.astype(jnp.float32), idx[..., None], axis=1
     )  # (N, Q, 4)

@@ -161,6 +161,8 @@ def main() -> None:
     p.add_argument("--max-steps", type=int, default=None)
     args = p.parse_args()
 
+    if not os.path.exists(args.config):
+        p.error(f"config file not found: {args.config}")
     cfg = Config.load(args.config)
     os.makedirs(args.workdir, exist_ok=True)
     cfg.save(os.path.join(args.workdir, "config.json"))

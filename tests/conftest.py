@@ -12,6 +12,13 @@ import os
 # to run the @pytest.mark.tpu tests against the real chip instead.
 if not os.environ.get("SSD_TPU_TEST_REAL"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Persistent compilation cache: the suite compiles dozens of small CPU
+# programs; caching them across runs cuts wall time several-fold.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ssd_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,72 @@
+"""Golden-parity tests (SURVEY.md §4): fixed seed + fixed input -> stored
+outputs. Catches silent numeric drift in the geometry/model/postprocess
+stack across refactors. Goldens are generated ON CPU in float32; regenerate
+deliberately with:  python tests/test_golden.py regen
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import Config, ModelConfig, NMSConfig
+from ssd_tpu.models.detector import Detector
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "predict_v1.npz")
+
+CFG = Config(
+    num_classes=5,
+    image_size=96,
+    model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                      fpn_channels=32, head_depth=1, compute_dtype="float32"),
+    nms=NMSConfig(score_threshold=0.01, max_boxes=20, num_candidates=128,
+                  pre_nms_top_k=64),
+)
+
+
+def _compute():
+    det = Detector(CFG)
+    variables = det.init(jax.random.PRNGKey(42))
+    rng = np.random.default_rng(7)
+    images = rng.integers(0, 255, (2, 96, 96, 3)).astype(np.uint8)
+    logits, deltas = det.apply(
+        variables,
+        jnp.asarray(
+            (images.astype(np.float32) - 127.5) / 64.0, jnp.float32
+        ),
+    )
+    out = jax.jit(det.predict)(variables, jnp.asarray(images))
+    return {
+        "logits_slice": np.asarray(logits)[:, :64],
+        "deltas_slice": np.asarray(deltas)[:, :64],
+        "boxes": np.asarray(out.boxes),
+        "scores": np.asarray(out.scores),
+        "labels": np.asarray(out.labels).astype(np.int32),
+        "num_boxes": np.asarray(out.num_boxes).astype(np.int32),
+        "anchors_head": np.asarray(det.anchors)[:64],
+    }
+
+
+def test_predict_matches_golden():
+    got = _compute()
+    if not os.path.exists(GOLDEN):  # first run: write and pass
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        np.savez_compressed(GOLDEN, **got)
+    want = np.load(GOLDEN)
+    for key in want.files:
+        if want[key].dtype.kind in "iu":
+            np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+        else:
+            np.testing.assert_allclose(
+                got[key], want[key], atol=2e-4, rtol=2e-3, err_msg=key
+            )
+
+
+if __name__ == "__main__":
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        np.savez_compressed(GOLDEN, **_compute())
+        print(f"regenerated {GOLDEN}")
