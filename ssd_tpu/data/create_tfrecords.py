@@ -35,8 +35,11 @@ def load_coco(path: str) -> list[dict]:
         return data
     images = {im["id"]: im for im in data["images"]}
     # map COCO category ids (non-contiguous) -> contiguous [0, C)
-    cat_ids = sorted(c["id"] for c in data["categories"])
-    cat_map = {cid: i for i, cid in enumerate(cat_ids)}
+    cats = sorted(data["categories"], key=lambda c: c["id"])
+    cat_map = {c["id"]: i for i, c in enumerate(cats)}
+    load_coco.last_label_map = {  # exposed for the CLI to persist
+        i: c.get("name", str(c["id"])) for i, c in enumerate(cats)
+    }
     per_image: dict[int, dict] = {}
     for ann in data["annotations"]:
         if ann.get("iscrowd"):
@@ -101,6 +104,12 @@ def main() -> None:
 
     entries = load_coco(args.annotations)
     n = write_shards(entries, args.images, args.output, args.num_shards)
+    label_map = getattr(load_coco, "last_label_map", None)
+    if label_map:
+        map_path = f"{args.output}-label_map.json"
+        with open(map_path, "w") as f:
+            json.dump(label_map, f, indent=2)
+        print(f"wrote label map ({len(label_map)} classes) to {map_path}")
     print(f"wrote {n} examples to {args.output}-*-of-{args.num_shards:05d}")
 
 

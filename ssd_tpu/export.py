@@ -18,10 +18,15 @@ import orbax.checkpoint as ocp
 from ssd_tpu.config import Config
 
 
-def save_inference_artifact(path: str, cfg: Config, variables: dict) -> None:
+def save_inference_artifact(path: str, cfg: Config, variables: dict,
+                            label_map: dict | None = None) -> None:
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     cfg.save(os.path.join(path, "config.json"))
+    if label_map:
+        import json
+        with open(os.path.join(path, "label_map.json"), "w") as f:
+            json.dump({str(k): v for k, v in label_map.items()}, f, indent=2)
     ckpt = ocp.StandardCheckpointer()
     target = {
         "params": variables["params"],

@@ -54,12 +54,13 @@ def build_backbone(cfg: Config) -> nn.Module:
     m = cfg.model
     if m.backbone == "mobilenet":
         return MobileNetV1(m.width_multiplier, m.compute_dtype,
-                           m.bn_momentum, name="backbone")
+                           m.bn_momentum, m.norm, name="backbone")
     if m.backbone == "shufflenet":
         return ShuffleNetV2(m.width_multiplier, m.compute_dtype,
-                            m.bn_momentum, name="backbone")
+                            m.bn_momentum, m.norm, name="backbone")
     if m.backbone == "resnet50":
-        return ResNet50(m.compute_dtype, m.bn_momentum, name="backbone")
+        return ResNet50(m.compute_dtype, m.bn_momentum, m.norm,
+                        name="backbone")
     raise ValueError(f"unknown backbone: {m.backbone}")
 
 

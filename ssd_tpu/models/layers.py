@@ -21,6 +21,14 @@ def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+def _num_groups(channels: int, target: int = 32) -> int:
+    """Largest divisor of ``channels`` that is <= target (GroupNorm)."""
+    g = min(target, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
 class ConvBN(nn.Module):
     """3x3/1x1 conv + batch-norm + optional activation."""
 
@@ -32,6 +40,8 @@ class ConvBN(nn.Module):
     act: Callable | None = nn.relu6
     compute_dtype: str = "bfloat16"
     bn_momentum: float = BATCH_NORM_MOMENTUM
+    norm: str = "batch"  # batch | group (group: batch-size independent,
+    #                      no running stats — useful for tiny-batch training)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -48,14 +58,23 @@ class ConvBN(nn.Module):
             name="conv",
         )(x)
         if self.use_norm:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=self.bn_momentum,
-                epsilon=BATCH_NORM_EPSILON,
-                dtype=dtype,
-                param_dtype=jnp.float32,
-                name="bn",
-            )(x)
+            if self.norm == "group":
+                x = nn.GroupNorm(
+                    num_groups=_num_groups(x.shape[-1]),
+                    epsilon=BATCH_NORM_EPSILON,
+                    dtype=dtype,
+                    param_dtype=jnp.float32,
+                    name="gn",
+                )(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=self.bn_momentum,
+                    epsilon=BATCH_NORM_EPSILON,
+                    dtype=dtype,
+                    param_dtype=jnp.float32,
+                    name="bn",
+                )(x)
         if self.act is not None:
             x = self.act(x)
         return x
@@ -68,6 +87,7 @@ class DepthwiseSeparable(nn.Module):
     strides: int = 1
     compute_dtype: str = "bfloat16"
     bn_momentum: float = BATCH_NORM_MOMENTUM
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,12 +95,12 @@ class DepthwiseSeparable(nn.Module):
         x = ConvBN(
             in_ch, kernel_size=3, strides=self.strides, groups=in_ch,
             compute_dtype=self.compute_dtype, bn_momentum=self.bn_momentum,
-            name="depthwise",
+            norm=self.norm, name="depthwise",
         )(x, train)
         x = ConvBN(
             self.features, kernel_size=1,
             compute_dtype=self.compute_dtype, bn_momentum=self.bn_momentum,
-            name="pointwise",
+            norm=self.norm, name="pointwise",
         )(x, train)
         return x
 

@@ -23,6 +23,7 @@ class MobileNetV1(nn.Module):
     width_multiplier: float = 1.0
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -30,10 +31,11 @@ class MobileNetV1(nn.Module):
         import functools
         DS = functools.partial(DepthwiseSeparable,
                                compute_dtype=self.compute_dtype,
-                               bn_momentum=self.bn_momentum)
+                               bn_momentum=self.bn_momentum, norm=self.norm)
 
         x = ConvBN(w(32), strides=2, compute_dtype=self.compute_dtype,
-                   bn_momentum=self.bn_momentum, name="stem")(x, train)  # /2
+                   bn_momentum=self.bn_momentum, norm=self.norm,
+                   name="stem")(x, train)  # /2
         x = DS(w(64), name="ds1")(x, train)
         x = DS(w(128), strides=2, name="ds2")(x, train)  # /4
         x = DS(w(128), name="ds3")(x, train)

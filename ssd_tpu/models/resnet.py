@@ -17,12 +17,13 @@ class Bottleneck(nn.Module):
     strides: int = 1
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         import functools
         CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
-                               bn_momentum=self.bn_momentum)
+                               bn_momentum=self.bn_momentum, norm=self.norm)
         out_ch = self.features * 4
         residual = x
         if x.shape[-1] != out_ch or self.strides != 1:
@@ -38,12 +39,13 @@ class Bottleneck(nn.Module):
 class ResNet50(nn.Module):
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         import functools
         kw = dict(compute_dtype=self.compute_dtype,
-                  bn_momentum=self.bn_momentum)
+                  bn_momentum=self.bn_momentum, norm=self.norm)
         B = functools.partial(Bottleneck, **kw)
         x = ConvBN(64, kernel_size=7, strides=2, act=nn.relu,
                    name="stem", **kw)(x, train)                         # /2

@@ -34,6 +34,7 @@ class ShuffleBlock(nn.Module):
 
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,7 +42,7 @@ class ShuffleBlock(nn.Module):
         shortcut, branch = x[..., :c], x[..., c:]
         import functools
         CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
-                               bn_momentum=self.bn_momentum)
+                               bn_momentum=self.bn_momentum, norm=self.norm)
         branch = CB(c, kernel_size=1, name="pw1")(branch, train)
         branch = CB(c, kernel_size=3, groups=c, act=None, name="dw")(branch, train)
         branch = CB(c, kernel_size=1, name="pw2")(branch, train)
@@ -55,6 +56,7 @@ class ShuffleDownBlock(nn.Module):
     features: int
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,7 +64,7 @@ class ShuffleDownBlock(nn.Module):
         in_ch = x.shape[-1]
         import functools
         CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
-                               bn_momentum=self.bn_momentum)
+                               bn_momentum=self.bn_momentum, norm=self.norm)
 
         left = CB(in_ch, kernel_size=3, strides=2, groups=in_ch, act=None,
                   name="left_dw")(x, train)
@@ -81,13 +83,14 @@ class ShuffleNetV2(nn.Module):
     width_multiplier: float = 1.0
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w2, w3, w4 = _stage_widths(self.width_multiplier)
         import functools
         kw = dict(compute_dtype=self.compute_dtype,
-                  bn_momentum=self.bn_momentum)
+                  bn_momentum=self.bn_momentum, norm=self.norm)
         Down = functools.partial(ShuffleDownBlock, **kw)
         Block = functools.partial(ShuffleBlock, **kw)
 

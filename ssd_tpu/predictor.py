@@ -38,19 +38,29 @@ def resize_image_numpy(image: np.ndarray, size: int) -> np.ndarray:
 class Predictor:
     """Loads a detector + params and serves batched inference."""
 
-    def __init__(self, cfg: Config, variables: dict):
+    def __init__(self, cfg: Config, variables: dict,
+                 label_map: dict[int, str] | None = None):
         self.cfg = cfg
         self.detector = Detector(cfg)
         self.variables = variables
+        self.label_map = label_map
         self._jitted = {}
 
     # -------------------------------------------------------------- factory
 
     @classmethod
     def from_checkpoint(cls, path: str) -> "Predictor":
+        import json
+        import os
+
         from ssd_tpu.export import load_inference_artifact
         cfg, variables = load_inference_artifact(path)
-        return cls(cfg, variables)
+        label_map = None
+        map_path = os.path.join(path, "label_map.json")
+        if os.path.exists(map_path):
+            with open(map_path) as f:
+                label_map = {int(k): v for k, v in json.load(f).items()}
+        return cls(cfg, variables, label_map)
 
     # -------------------------------------------------------------- serving
 
@@ -82,6 +92,11 @@ class Predictor:
             "labels": np.asarray(out.labels),
             "num_boxes": np.asarray(out.num_boxes),
         }
+        if self.label_map is not None:
+            result["names"] = np.array([
+                [self.label_map.get(int(l), str(int(l))) for l in row]
+                for row in result["labels"]
+            ])
         if single:
             result = {k: v[0] for k, v in result.items()}
         return result

@@ -146,9 +146,18 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         # inference artifact alongside the training checkpoints — the
         # reference's save.py step, folded into the driver (SURVEY.md §3.3)
         from ssd_tpu.export import save_inference_artifact
+        label_map = None
+        import glob as globlib
+        import json
+        pattern_dir = os.path.dirname(cfg.data.train_file_pattern) or "."
+        maps = globlib.glob(os.path.join(pattern_dir, "*label_map.json"))
+        if maps:
+            with open(maps[0]) as f:
+                label_map = json.load(f)
         save_inference_artifact(
             os.path.join(workdir, "export"), cfg,
             {"params": state.params, "batch_stats": state.batch_stats},
+            label_map=label_map,
         )
     return {k: float(jax.device_get(v)) for k, v in metrics.items()}
 

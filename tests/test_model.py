@@ -92,3 +92,28 @@ def test_normalize_images_range():
     images = jnp.full((1, 8, 8, 3), 255, jnp.uint8)
     out = np.asarray(normalize_images(images, jnp.float32))
     assert out.max() < 3.0 and out.min() > 1.5  # (255-mean)/std per channel
+
+
+def test_groupnorm_backbone_trains_without_batch_stats():
+    import dataclasses
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.parallel import (create_mesh, create_train_state,
+                                  jit_train_step, make_optimizer,
+                                  make_train_step, shard_batch)
+    cfg = dataclasses.replace(
+        SMALL, model=dataclasses.replace(SMALL.model, norm="group"))
+    det = Detector(cfg)
+    variables = det.init(jax.random.PRNGKey(0))
+    assert not variables.get("batch_stats")
+    mesh = create_mesh()
+    tx = make_optimizer(cfg)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    step = jit_train_step(make_train_step(det, tx), mesh)
+    batch = shard_batch(mesh, {
+        "images": np.zeros((8, 128, 128, 3), np.uint8),
+        "boxes": np.tile(np.array([0.2, 0.2, 0.8, 0.8], np.float32), (8, 4, 1)),
+        "labels": np.zeros((8, 4), np.int32),
+        "num_boxes": np.ones((8,), np.int32),
+    })
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
