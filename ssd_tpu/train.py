@@ -34,13 +34,27 @@ from ssd_tpu.utils.logging import MetricLogger
 
 
 def evaluate(detector: Detector, state, cfg: Config, host_id: int,
-             num_hosts: int, max_batches: int | None = None) -> dict:
-    """COCO-style mAP over the validation set with the jitted predict."""
+             num_hosts: int, max_batches: int | None = None,
+             mesh=None) -> dict:
+    """COCO-style mAP over the validation set with the jitted predict.
+
+    With a mesh, inference is data-parallel: the eval batch is sharded over
+    the ``data`` axis like training batches (per-host streams are already
+    disjoint via the pipeline's host sharding).
+    """
     from ssd_tpu.data.pipeline import Pipeline
 
-    predict = jax.jit(
-        lambda variables, images: detector.predict(variables, images)
-    )
+    if mesh is not None:
+        from ssd_tpu.parallel import batch_sharding, replicated
+        predict = jax.jit(
+            lambda variables, images: detector.predict(variables, images),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=replicated(mesh),
+        )
+    else:
+        predict = jax.jit(
+            lambda variables, images: detector.predict(variables, images)
+        )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     evaluator = DetectionEvaluator(cfg.num_classes)
     pipeline = Pipeline(
@@ -129,7 +143,8 @@ def train(cfg: Config, workdir: str, resume: bool = True,
             break
         if cfg.train.eval_every and step % cfg.train.eval_every == 0:
             try:
-                result = evaluate(detector, state, cfg, host_id, num_hosts)
+                result = evaluate(detector, state, cfg, host_id, num_hosts,
+                                  mesh=mesh)
                 if host_id == 0:
                     logger.log(step, {}, extra={
                         "mAP": result["mAP"], "AP50": result["AP50"],

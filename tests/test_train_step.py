@@ -101,3 +101,25 @@ def test_compile_discipline():
         batch = shard_batch(mesh, _tiny_batch(r))
         state, _ = step(state, batch)
     assert step._cache_size() == 1
+
+
+def test_sharded_evaluate(tmp_path, rng):
+    """DP evaluation over the 8-device mesh produces the same mAP as
+    single-device evaluation."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_e2e import write_synth_dataset, make_cfg
+    from ssd_tpu.train import evaluate
+
+    write_synth_dataset(tmp_path / "train.tfrecords", 16, seed=0)
+    write_synth_dataset(tmp_path / "val.tfrecords", 16, seed=1)
+    cfg = make_cfg(tmp_path)
+    det = Detector(cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    mesh = create_mesh()
+    r_plain = evaluate(det, state, cfg, 0, 1)
+    r_mesh = evaluate(det, state, cfg, 0, 1, mesh=mesh)
+    assert abs(r_plain["mAP"] - r_mesh["mAP"]) < 1e-6 or (
+        np.isnan(r_plain["mAP"]) and np.isnan(r_mesh["mAP"])
+    )
