@@ -36,6 +36,50 @@ def save_inference_artifact(path: str, cfg: Config, variables: dict,
     ckpt.wait_until_finished()
 
 
+def export_stablehlo(path: str, cfg: Config, variables: dict,
+                     batch_size: int = 1) -> str:
+    """Serialize the full predict program (weights baked in) as StableHLO.
+
+    The TPU-native analog of the reference's frozen-graph export
+    (SURVEY.md §3.3): one self-contained artifact, loadable with
+    :func:`load_stablehlo` and runnable WITHOUT the model code or config —
+    only jax. Compiled per (resolution, batch) like everything else.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from ssd_tpu.models.detector import Detector
+
+    det = Detector(cfg)
+
+    def predict(images):
+        out = det.predict(variables, images)
+        return {"boxes": out.boxes, "scores": out.scores,
+                "labels": out.labels, "num_boxes": out.num_boxes}
+
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, cfg.image_size, cfg.image_size, 3), jnp.uint8
+    )
+    exported = jexport.export(jax.jit(predict))(spec)
+    os.makedirs(path, exist_ok=True)
+    out_file = os.path.join(
+        path, f"predict_b{batch_size}_{cfg.image_size}.stablehlo"
+    )
+    with open(out_file, "wb") as f:
+        f.write(exported.serialize())
+    return out_file
+
+
+def load_stablehlo(file_path: str):
+    """Load a serialized predict program. Returns ``fn(images) -> dict``."""
+    from jax import export as jexport
+
+    with open(file_path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call
+
+
 def load_inference_artifact(path: str) -> tuple[Config, dict]:
     path = os.path.abspath(path)
     cfg = Config.load(os.path.join(path, "config.json"))
