@@ -94,9 +94,21 @@ def random_flip(image, boxes, rng, probability=0.5):
     return image, boxes
 
 
+def _hue_rotation_matrix(radians: float) -> np.ndarray:
+    """3x3 RGB hue-rotation matrix (rotation about the gray axis)."""
+    cos, sin = np.cos(radians), np.sin(radians)
+    one_third = 1.0 / 3.0
+    sqrt3 = np.sqrt(3.0)
+    m = np.full((3, 3), one_third * (1.0 - cos), np.float32)
+    m += np.eye(3, dtype=np.float32) * cos
+    off = np.array([[0, -1, 1], [1, 0, -1], [-1, 1, 0]], np.float32)
+    m += off * (sin / sqrt3)
+    return m
+
+
 def random_color(image: np.ndarray, rng: np.random.Generator,
                  probability: float = 0.5) -> np.ndarray:
-    """Brightness/contrast/saturation jitter (uint8 in/out)."""
+    """Brightness/contrast/saturation/hue jitter (uint8 in/out)."""
     if rng.uniform() >= probability:
         return image
     img = image.astype(np.float32)
@@ -107,6 +119,9 @@ def random_color(image: np.ndarray, rng: np.random.Generator,
     # saturation: lerp towards grayscale
     gray = img.mean(axis=-1, keepdims=True)
     img = gray + (img - gray) * rng.uniform(0.7, 1.3)
+    # hue: small rotation about the gray axis (cheap HSV-free approximation)
+    if rng.uniform() < 0.5:
+        img = img @ _hue_rotation_matrix(rng.uniform(-0.2, 0.2)).T
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -80,6 +80,51 @@ def load_stablehlo(file_path: str):
     return exported.call
 
 
+def main() -> None:
+    """CLI: training checkpoint -> inference artifact (the reference's
+    ``save.py`` step, SURVEY.md §3.3).
+
+    Usage:
+        python -m ssd_tpu.export --workdir runs/r1 [--step N]
+            [--output runs/r1/export] [--stablehlo --batch-size 1]
+    """
+    import argparse
+
+    import jax
+
+    from ssd_tpu.models.detector import Detector
+    from ssd_tpu.parallel import make_optimizer
+    from ssd_tpu.utils.checkpoint import TrainCheckpointer, abstract_train_state
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--workdir", required=True,
+                   help="training workdir (contains config.json, checkpoints/)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+    p.add_argument("--output", default=None,
+                   help="artifact dir (default: <workdir>/export)")
+    p.add_argument("--stablehlo", action="store_true",
+                   help="also serialize a self-contained predict program")
+    p.add_argument("--batch-size", type=int, default=1)
+    args = p.parse_args()
+
+    cfg = Config.load(os.path.join(args.workdir, "config.json"))
+    detector = Detector(cfg)
+    tx = make_optimizer(cfg)
+    ckpt = TrainCheckpointer(os.path.join(args.workdir, "checkpoints"))
+    state, _ = ckpt.restore(abstract_train_state(detector, tx), step=args.step)
+    ckpt.close()
+
+    out = args.output or os.path.join(args.workdir, "export")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    save_inference_artifact(out, cfg, variables)
+    print(f"wrote inference artifact (step {int(jax.device_get(state.step))}) "
+          f"to {out}")
+    if args.stablehlo:
+        f = export_stablehlo(out, cfg, variables, batch_size=args.batch_size)
+        print(f"wrote serialized predict program to {f}")
+
+
 def load_inference_artifact(path: str) -> tuple[Config, dict]:
     path = os.path.abspath(path)
     cfg = Config.load(os.path.join(path, "config.json"))
@@ -104,3 +149,7 @@ def load_inference_artifact(path: str) -> tuple[Config, dict]:
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(os.path.join(path, "variables"), target)
     return cfg, restored
+
+
+if __name__ == "__main__":
+    main()

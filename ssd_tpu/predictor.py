@@ -73,7 +73,12 @@ class Predictor:
         return self.predict(images)
 
     def predict(self, images) -> dict:
-        """images: uint8 array (H, W, 3) or (N, H, W, 3), any resolution."""
+        """images: uint8 array (H, W, 3) or (N, H, W, 3), any resolution.
+
+        Arbitrary batch sizes are padded up to the next power of two so the
+        number of distinct compilations stays logarithmic in serving batch
+        variety (one compile per bucket, not per size).
+        """
         images = np.asarray(images)
         single = images.ndim == 3
         if single:
@@ -83,14 +88,19 @@ class Predictor:
             images = np.stack([resize_image_numpy(im, s) for im in images])
         images = images.astype(np.uint8)
 
-        out = self._fn_for_batch(images.shape[0])(
-            self.variables, jnp.asarray(images)
-        )
+        n = images.shape[0]
+        bucket = 1 << (n - 1).bit_length()  # next power of two
+        if bucket != n:
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + images.shape[1:], np.uint8)]
+            )
+
+        out = self._fn_for_batch(bucket)(self.variables, jnp.asarray(images))
         result = {
-            "boxes": np.asarray(out.boxes),
-            "scores": np.asarray(out.scores),
-            "labels": np.asarray(out.labels),
-            "num_boxes": np.asarray(out.num_boxes),
+            "boxes": np.asarray(out.boxes)[:n],
+            "scores": np.asarray(out.scores)[:n],
+            "labels": np.asarray(out.labels)[:n],
+            "num_boxes": np.asarray(out.num_boxes)[:n],
         }
         if self.label_map is not None:
             result["names"] = np.array([

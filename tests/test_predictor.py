@@ -1,0 +1,52 @@
+import numpy as np
+
+import jax
+
+from ssd_tpu.config import Config, ModelConfig, NMSConfig
+from ssd_tpu.models.detector import Detector
+from ssd_tpu.predictor import Predictor, resize_image_numpy
+
+CFG = Config(
+    num_classes=3, image_size=64,
+    model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                      fpn_channels=32, head_depth=1, compute_dtype="float32"),
+    nms=NMSConfig(max_boxes=8, num_candidates=64, pre_nms_top_k=32),
+)
+
+
+def _predictor():
+    det = Detector(CFG)
+    return Predictor(CFG, det.init(jax.random.PRNGKey(0)))
+
+
+def test_single_image_any_resolution():
+    p = _predictor()
+    out = p.predict(np.zeros((100, 37, 3), np.uint8))
+    assert out["boxes"].shape == (8, 4)
+    assert out["num_boxes"].shape == ()
+
+
+def test_batch_bucketing_compiles_once_per_bucket():
+    p = _predictor()
+    for n in (1, 3, 4, 5, 7):
+        out = p.predict(np.zeros((n, 64, 64, 3), np.uint8))
+        assert out["boxes"].shape == (n, 8, 4)
+        assert out["num_boxes"].shape == (n,)
+    # buckets: 1, 4, 8 -> exactly 3 compiled variants
+    assert set(p._jitted) == {1, 4, 8}
+
+
+def test_bucket_padding_does_not_change_results():
+    p = _predictor()
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    full = p.predict(images)
+    sub = p.predict(images[:3])  # padded to 4 internally
+    np.testing.assert_allclose(full["boxes"][:3], sub["boxes"], atol=1e-6)
+    np.testing.assert_array_equal(full["num_boxes"][:3], sub["num_boxes"])
+
+
+def test_resize_identity():
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    out = resize_image_numpy(img, 3)
+    np.testing.assert_array_equal(out, img)
