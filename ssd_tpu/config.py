@@ -49,6 +49,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # conv compute dtype on TPU
     norm: str = "batch"  # batch | group
     bn_momentum: float = 0.997  # lower (e.g. 0.9) for short runs/tests
+    # Space-to-depth stem: rearrange the 2x2-strided stem conv input as a
+    # depth-16 tensor so the first conv runs dense on the MXU instead of
+    # spatially-strided on a 3-channel input (classic TPU detection trick).
+    stem_space_to_depth: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,8 +111,7 @@ class DataConfig:
     train_file_pattern: str = "data/train-*.tfrecords"
     val_file_pattern: str = "data/val-*.tfrecords"
     max_gt_boxes: int = 100  # padded ground-truth boxes per image
-    shuffle_buffer: int = 2048
-    num_workers: int = 8
+    num_workers: int = 8  # decode threads in the native loader
     # SSD-style augmentation knobs
     crop_min_ious: Sequence[float] = (0.1, 0.3, 0.5, 0.7, 0.9)
     crop_probability: float = 0.85

@@ -52,16 +52,27 @@ def normalize_images(images_uint8: jnp.ndarray,
 
 def build_backbone(cfg: Config) -> nn.Module:
     m = cfg.model
+    stem_stride = 1 if m.stem_space_to_depth else 2
     if m.backbone == "mobilenet":
         return MobileNetV1(m.width_multiplier, m.compute_dtype,
-                           m.bn_momentum, m.norm, name="backbone")
+                           m.bn_momentum, m.norm, stem_stride,
+                           name="backbone")
     if m.backbone == "shufflenet":
         return ShuffleNetV2(m.width_multiplier, m.compute_dtype,
-                            m.bn_momentum, m.norm, name="backbone")
+                            m.bn_momentum, m.norm, stem_stride,
+                            name="backbone")
     if m.backbone == "resnet50":
-        return ResNet50(m.compute_dtype, m.bn_momentum, m.norm,
+        return ResNet50(m.compute_dtype, m.bn_momentum, m.norm, stem_stride,
                         name="backbone")
     raise ValueError(f"unknown backbone: {m.backbone}")
+
+
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """NHWC space-to-depth: (N, H, W, C) -> (N, H/b, W/b, C*b*b)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, c * block * block)
 
 
 class SSDModel(nn.Module):
@@ -72,6 +83,10 @@ class SSDModel(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False):
         cfg = self.cfg
+        if cfg.model.stem_space_to_depth:
+            # The backbone's stride-2 stem then sees a (S/2, S/2, 12)
+            # input and runs stride 1 — same receptive field, MXU-dense.
+            images = space_to_depth(images, 2)
         feats = build_backbone(cfg)(images, train)
         pyramid = FPN(cfg.model.fpn_channels, cfg.model.compute_dtype,
                       name="fpn")(feats, train)

@@ -24,6 +24,7 @@ class MobileNetV1(nn.Module):
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
     norm: str = "batch"
+    stem_stride: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -33,7 +34,7 @@ class MobileNetV1(nn.Module):
                                compute_dtype=self.compute_dtype,
                                bn_momentum=self.bn_momentum, norm=self.norm)
 
-        x = ConvBN(w(32), strides=2, compute_dtype=self.compute_dtype,
+        x = ConvBN(w(32), strides=self.stem_stride, compute_dtype=self.compute_dtype,
                    bn_momentum=self.bn_momentum, norm=self.norm,
                    name="stem")(x, train)  # /2
         x = DS(w(64), name="ds1")(x, train)

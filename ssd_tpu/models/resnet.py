@@ -40,6 +40,7 @@ class ResNet50(nn.Module):
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
     norm: str = "batch"
+    stem_stride: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,7 +48,7 @@ class ResNet50(nn.Module):
         kw = dict(compute_dtype=self.compute_dtype,
                   bn_momentum=self.bn_momentum, norm=self.norm)
         B = functools.partial(Bottleneck, **kw)
-        x = ConvBN(64, kernel_size=7, strides=2, act=nn.relu,
+        x = ConvBN(64, kernel_size=7, strides=self.stem_stride, act=nn.relu,
                    name="stem", **kw)(x, train)                         # /2
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")      # /4
 

@@ -84,6 +84,7 @@ class ShuffleNetV2(nn.Module):
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
     norm: str = "batch"
+    stem_stride: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -94,7 +95,7 @@ class ShuffleNetV2(nn.Module):
         Down = functools.partial(ShuffleDownBlock, **kw)
         Block = functools.partial(ShuffleBlock, **kw)
 
-        x = ConvBN(24, strides=2, name="stem", **kw)(x, train)      # /2
+        x = ConvBN(24, strides=self.stem_stride, name="stem", **kw)(x, train)  # /2
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # /4
 
         x = Down(w2, name="stage2_down")(x, train)  # /8

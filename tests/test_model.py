@@ -117,3 +117,15 @@ def test_groupnorm_backbone_trains_without_batch_stats():
     })
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_space_to_depth_stem_same_anchors():
+    import dataclasses
+    cfg = dataclasses.replace(
+        SMALL, model=dataclasses.replace(SMALL.model, stem_space_to_depth=True))
+    det = Detector(cfg)
+    variables = det.init(jax.random.PRNGKey(0))
+    images = normalize_images(jnp.asarray(_batch_images(1, 128)))
+    logits, deltas = det.apply(variables, images)
+    assert logits.shape == (1, cfg.num_anchors(), 4)
+    assert np.all(np.isfinite(np.asarray(logits)))
