@@ -104,6 +104,9 @@ class TrainConfig:
     log_every: int = 100
     eval_every: int = 5000
     seed: int = 0
+    # Warm-start: path to an inference artifact (export dir) whose matching
+    # parameter subtrees (typically the backbone) seed the new run.
+    init_from: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

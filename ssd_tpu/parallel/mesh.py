@@ -53,6 +53,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host-side batch dict onto the mesh, sharded on dim 0."""
+    """Place a host-side batch dict onto the mesh, sharded on dim 0.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (the pipeline's host sharding already makes streams disjoint);
+    ``make_array_from_process_local_data`` assembles the global array —
+    ``device_put`` alone cannot target non-addressable devices.
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, x), batch
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

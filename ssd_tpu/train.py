@@ -40,7 +40,11 @@ def evaluate(detector: Detector, state, cfg: Config, host_id: int,
 
     With a mesh, inference is data-parallel: the eval batch is sharded over
     the ``data`` axis like training batches (per-host streams are already
-    disjoint via the pipeline's host sharding).
+    disjoint via the pipeline's host sharding). Multi-host runs produce a
+    per-host partial mAP over that host's shard of the val set; host 0's
+    number is representative for monitoring (exact global mAP requires a
+    host-side gather of detections — run a single-host eval job for final
+    reported numbers).
     """
     from ssd_tpu.data.pipeline import Pipeline
 
@@ -73,6 +77,42 @@ def evaluate(detector: Detector, state, cfg: Config, host_id: int,
             batch["boxes"], batch["labels"], batch["num_boxes"],
         )
     return evaluator.result()
+
+
+def warm_start(state, artifact_path: str):
+    """Seed a fresh TrainState from an inference artifact (transfer
+    learning / pretrained-backbone loading): every parameter and BN-stat
+    leaf whose path AND shape match is copied; mismatches (e.g. a different
+    class count in the heads) keep their fresh initialization."""
+    from ssd_tpu.export import load_inference_artifact
+
+    _, donor = load_inference_artifact(artifact_path)
+
+    def merge(fresh_tree, donor_tree, kind):
+        fresh_flat = jax.tree_util.tree_flatten_with_path(fresh_tree)[0]
+        donor_flat = dict(jax.tree_util.tree_flatten_with_path(donor_tree)[0])
+        copied = 0
+        out = {}
+        for path, leaf in fresh_flat:
+            d = donor_flat.get(path)
+            if d is not None and d.shape == leaf.shape and d.dtype == leaf.dtype:
+                out[path] = d
+                copied += 1
+            else:
+                out[path] = leaf
+        print(f"warm_start: copied {copied}/{len(fresh_flat)} {kind} leaves "
+              f"from {artifact_path}", flush=True)
+        treedef = jax.tree_util.tree_structure(fresh_tree)
+        return jax.tree_util.tree_unflatten(
+            treedef, [out[p] for p, _ in fresh_flat]
+        )
+
+    state = state.replace(params=merge(state.params, donor["params"], "param"))
+    if donor.get("batch_stats"):
+        state = state.replace(
+            batch_stats=merge(state.batch_stats, donor["batch_stats"], "bn")
+        )
+    return state
 
 
 def train(cfg: Config, workdir: str, resume: bool = True,
@@ -111,6 +151,8 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         state = create_train_state(
             detector, jax.random.PRNGKey(cfg.train.seed), tx
         )
+        if cfg.train.init_from:
+            state = warm_start(state, cfg.train.init_from)
     state = jax.device_put(state, replicated(mesh))
 
     # ----- preemption handler --------------------------------------------
@@ -125,7 +167,7 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     num_steps = max_steps or cfg.train.num_steps
     metrics = {}
     data_iter = iter(pipeline)
-    logger._last = __import__("time").perf_counter()
+    logger.reset_clock()
     while int(jax.device_get(state.step)) < num_steps:
         batch = next(data_iter)
         logger.tick_data()

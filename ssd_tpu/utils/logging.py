@@ -27,6 +27,10 @@ class MetricLogger:
         self._data_times = deque(maxlen=window)
         self._last = time.perf_counter()
 
+    def reset_clock(self) -> None:
+        """Restart the step/data timers (call right before the loop)."""
+        self._last = time.perf_counter()
+
     def tick_data(self) -> None:
         """Call after the next batch is ready (measures input-pipeline time)."""
         now = time.perf_counter()

@@ -58,3 +58,33 @@ def test_predictor_names(tmp_path):
     out = p.predict(np.zeros((64, 64, 3), np.uint8))
     assert "names" in out
     assert out["names"].shape == (CFG.nms.max_boxes,)
+
+
+def test_warm_start_copies_matching_leaves(tmp_path):
+    import dataclasses
+    import jax.numpy as jnp
+    from ssd_tpu.parallel import create_train_state, make_optimizer
+    from ssd_tpu.train import warm_start
+
+    det = Detector(CFG)
+    donor_vars = det.init(jax.random.PRNGKey(7))
+    save_inference_artifact(str(tmp_path / "donor"), CFG, donor_vars)
+
+    # new task: different class count -> head predict leaves mismatch
+    cfg2 = dataclasses.replace(CFG, num_classes=5)
+    det2 = Detector(cfg2)
+    tx = make_optimizer(cfg2)
+    state = create_train_state(det2, jax.random.PRNGKey(0), tx)
+    state2 = warm_start(state, str(tmp_path / "donor"))
+
+    # backbone stem copied from donor
+    donor_stem = np.asarray(
+        donor_vars["params"]["backbone"]["stem"]["conv"]["kernel"])
+    got_stem = np.asarray(state2.params["backbone"]["stem"]["conv"]["kernel"])
+    np.testing.assert_array_equal(donor_stem, got_stem)
+    # class-head predict kernel shape differs -> kept fresh (not donor's)
+    fresh_head = np.asarray(
+        state.params["head"]["class_net"]["predict"]["kernel"])
+    got_head = np.asarray(
+        state2.params["head"]["class_net"]["predict"]["kernel"])
+    np.testing.assert_array_equal(fresh_head, got_head)
