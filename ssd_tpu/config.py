@@ -46,7 +46,12 @@ class ModelConfig:
     fpn_channels: int = 128
     head_depth: int = 4  # number of 3x3 convs in each subnet
     head_channels: int = 0  # 0 -> same as fpn_channels
-    compute_dtype: str = "bfloat16"  # conv compute dtype on TPU
+    # Conv compute dtype: bfloat16 | float32 | int8 (experimental;
+    # mobilenet-only calibration-free PTQ — measured SLOWER than bf16 on
+    # v5e for this bandwidth-bound model (732 vs 1008 img/s at b32/640):
+    # the quantize/dequantize elementwise passes outweigh the MXU savings.
+    # Kept for memory-constrained deployments and larger dense models.)
+    compute_dtype: str = "bfloat16"
     norm: str = "batch"  # batch | group
     bn_momentum: float = 0.997  # lower (e.g. 0.9) for short runs/tests
     # Space-to-depth stem: rearrange the 2x2-strided stem conv input as a

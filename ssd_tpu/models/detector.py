@@ -52,6 +52,10 @@ def normalize_images(images_uint8: jnp.ndarray,
 
 def build_backbone(cfg: Config) -> nn.Module:
     m = cfg.model
+    if m.compute_dtype == "int8" and m.backbone != "mobilenet":
+        raise ValueError(
+            "int8 inference relies on ReLU6-bounded activations; only the "
+            "mobilenet backbone supports it")
     stem_stride = 1 if m.stem_space_to_depth else 2
     if m.backbone == "mobilenet":
         return MobileNetV1(m.width_multiplier, m.compute_dtype,
@@ -88,7 +92,11 @@ class SSDModel(nn.Module):
             # input and runs stride 1 — same receptive field, MXU-dense.
             images = space_to_depth(images, 2)
         feats = build_backbone(cfg)(images, train)
-        pyramid = FPN(cfg.model.fpn_channels, cfg.model.compute_dtype,
+        # int8 is backbone-only: FPN/head activations are unbounded sums,
+        # so they run bf16 regardless.
+        neck_dtype = ("bfloat16" if cfg.model.compute_dtype == "int8"
+                      else cfg.model.compute_dtype)
+        pyramid = FPN(cfg.model.fpn_channels, neck_dtype,
                       name="fpn")(feats, train)
         head_channels = cfg.model.head_channels or cfg.model.fpn_channels
         logits, deltas = RetinaHead(
@@ -96,7 +104,7 @@ class SSDModel(nn.Module):
             anchors_per_cell=cfg.anchors.num_anchors_per_cell,
             depth=cfg.model.head_depth,
             channels=head_channels,
-            compute_dtype=cfg.model.compute_dtype,
+            compute_dtype=neck_dtype,
             name="head",
         )(pyramid)
         return logits, deltas

@@ -12,13 +12,17 @@ from __future__ import annotations
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ssd_tpu.constants import BATCH_NORM_EPSILON, BATCH_NORM_MOMENTUM
 
 
 def _dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+    # int8 mode computes norms/activations in bf16; the conv itself takes
+    # the quantized path inside ConvBN.
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "int8": jnp.bfloat16}[name]
 
 
 def _num_groups(channels: int, target: int = 32) -> int:
@@ -30,7 +34,15 @@ def _num_groups(channels: int, target: int = 32) -> int:
 
 
 class ConvBN(nn.Module):
-    """3x3/1x1 conv + batch-norm + optional activation."""
+    """3x3/1x1 conv + batch-norm + optional activation.
+
+    ``compute_dtype="int8"`` (inference): dense (groups==1) convs run
+    int8 x int8 -> int32 on the MXU at 2x the bf16 rate. Activation scales
+    are STATIC — ReLU6 bounds every inter-layer activation to [0, 6]
+    (``act_range``) so no calibration pass is needed; weights use
+    per-output-channel absmax scales computed from the f32 params.
+    Depthwise convs (VPU-bound) and norms/activations stay bf16.
+    """
 
     features: int
     kernel_size: int = 3
@@ -42,21 +54,25 @@ class ConvBN(nn.Module):
     bn_momentum: float = BATCH_NORM_MOMENTUM
     norm: str = "batch"  # batch | group (group: batch-size independent,
     #                      no running stats — useful for tiny-batch training)
+    act_range: float = 6.0  # |input| bound for int8 quantization
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dtype = _dtype(self.compute_dtype)
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding="SAME",
-            feature_group_count=self.groups,
-            use_bias=not self.use_norm,
-            dtype=dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.compute_dtype == "int8" and self.groups == 1 and not train:
+            x = self._quantized_conv(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding="SAME",
+                feature_group_count=self.groups,
+                use_bias=not self.use_norm,
+                dtype=dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.use_norm:
             if self.norm == "group":
                 x = nn.GroupNorm(
@@ -78,6 +94,61 @@ class ConvBN(nn.Module):
         if self.act is not None:
             x = self.act(x)
         return x
+
+    def _quantized_conv(self, x):
+        # param layout matches nn.Conv ("conv": {"kernel", "bias"}) so
+        # f32-trained checkpoints load into int8 inference unchanged.
+        return QuantConv(
+            self.features, self.kernel_size, self.strides,
+            use_bias=not self.use_norm, act_range=self.act_range,
+            name="conv",
+        )(x)
+
+
+class QuantConv(nn.Module):
+    """int8 x int8 -> int32 conv with static activation scale and
+    per-output-channel weight scales (see ConvBN docstring)."""
+
+    features: int
+    kernel_size: int
+    strides: int
+    use_bias: bool
+    act_range: float
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, in_ch, self.features),
+            jnp.float32,
+        )
+        # static symmetric activation quantization
+        a_scale = self.act_range / 127.0
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
+        ).astype(jnp.int8)
+        # per-out-channel symmetric weight quantization
+        k_absmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True)
+        k_scale = jnp.maximum(k_absmax / 127.0, 1e-8)  # (1,1,1,F)
+        k_q = jnp.clip(jnp.round(kernel / k_scale), -127, 127).astype(jnp.int8)
+
+        dn = jax.lax.conv_dimension_numbers(
+            x_q.shape, k_q.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x_q, k_q, (self.strides, self.strides), "SAME",
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.bfloat16) * (
+            (a_scale * k_scale[0, 0, 0]).astype(jnp.bfloat16)
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(jnp.bfloat16)
+        return y
 
 
 class DepthwiseSeparable(nn.Module):

@@ -36,6 +36,7 @@ class MobileNetV1(nn.Module):
 
         x = ConvBN(w(32), strides=self.stem_stride, compute_dtype=self.compute_dtype,
                    bn_momentum=self.bn_momentum, norm=self.norm,
+                   act_range=3.0,  # stem input: normalized images, not ReLU6
                    name="stem")(x, train)  # /2
         x = DS(w(64), name="ds1")(x, train)
         x = DS(w(128), strides=2, name="ds2")(x, train)  # /4

@@ -129,3 +129,35 @@ def test_space_to_depth_stem_same_anchors():
     logits, deltas = det.apply(variables, images)
     assert logits.shape == (1, cfg.num_anchors(), 4)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_int8_backbone_agrees_with_f32():
+    import dataclasses
+    cfg32 = dataclasses.replace(
+        SMALL, model=dataclasses.replace(
+            SMALL.model, width_multiplier=0.5, norm="group",
+            compute_dtype="float32"))
+    cfg8 = dataclasses.replace(
+        cfg32, model=dataclasses.replace(cfg32.model, compute_dtype="int8"))
+    det32, det8 = Detector(cfg32), Detector(cfg8)
+    v = det32.init(jax.random.PRNGKey(0))
+    # identical param trees: f32 checkpoints serve int8 directly
+    assert jax.tree_util.tree_structure(v["params"]) == (
+        jax.tree_util.tree_structure(det8.init(jax.random.PRNGKey(0))["params"]))
+    rng_ = np.random.default_rng(0)
+    img = jnp.asarray(rng_.integers(0, 255, (2, 128, 128, 3)).astype(np.uint8))
+    l32, _ = det32.apply(v, normalize_images(img, jnp.float32))
+    l8, _ = det8.apply(v, normalize_images(img, jnp.bfloat16))
+    corr = np.corrcoef(np.asarray(l32, np.float32).ravel(),
+                       np.asarray(l8, np.float32).ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_int8_rejects_unbounded_backbones():
+    import dataclasses
+    import pytest
+    cfg = dataclasses.replace(
+        SMALL, model=dataclasses.replace(
+            SMALL.model, backbone="resnet50", compute_dtype="int8"))
+    with pytest.raises(ValueError, match="ReLU6"):
+        Detector(cfg).init(jax.random.PRNGKey(0))
