@@ -175,7 +175,6 @@ class Detector:
 
     def predict(self, variables: dict, images_uint8: jnp.ndarray) -> Detections:
         """uint8 images -> NMS'd detections (the reference's public contract)."""
-        cfg = self.cfg
         images = normalize_images(images_uint8)
         logits, deltas = self.model.apply(variables, images, train=False)
         return self.postprocess(logits, deltas)

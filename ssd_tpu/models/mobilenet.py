@@ -10,6 +10,8 @@ truncated before the classifier.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 
 from ssd_tpu.models.layers import ConvBN, DepthwiseSeparable
@@ -29,7 +31,6 @@ class MobileNetV1(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = lambda ch: _width(ch, self.width_multiplier)
-        import functools
         DS = functools.partial(DepthwiseSeparable,
                                compute_dtype=self.compute_dtype,
                                bn_momentum=self.bn_momentum, norm=self.norm)

@@ -7,6 +7,8 @@ bottleneck ResNet-v1.5 (stride in the 3x3), NHWC, bfloat16 compute.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 
 from ssd_tpu.models.layers import ConvBN
@@ -21,7 +23,6 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        import functools
         CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
                                bn_momentum=self.bn_momentum, norm=self.norm)
         out_ch = self.features * 4
@@ -44,7 +45,6 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        import functools
         kw = dict(compute_dtype=self.compute_dtype,
                   bn_momentum=self.bn_momentum, norm=self.norm)
         B = functools.partial(Bottleneck, **kw)

@@ -10,6 +10,8 @@ between the 0.5x/1.0x/1.5x/2.0x variants (nearest match).
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -40,7 +42,6 @@ class ShuffleBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         c = x.shape[-1] // 2
         shortcut, branch = x[..., :c], x[..., c:]
-        import functools
         CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
                                bn_momentum=self.bn_momentum, norm=self.norm)
         branch = CB(c, kernel_size=1, name="pw1")(branch, train)
@@ -62,7 +63,6 @@ class ShuffleDownBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         c = self.features // 2
         in_ch = x.shape[-1]
-        import functools
         CB = functools.partial(ConvBN, compute_dtype=self.compute_dtype,
                                bn_momentum=self.bn_momentum, norm=self.norm)
 
@@ -89,7 +89,6 @@ class ShuffleNetV2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         w2, w3, w4 = _stage_widths(self.width_multiplier)
-        import functools
         kw = dict(compute_dtype=self.compute_dtype,
                   bn_momentum=self.bn_momentum, norm=self.norm)
         Down = functools.partial(ShuffleDownBlock, **kw)

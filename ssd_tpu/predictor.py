@@ -112,9 +112,10 @@ class Predictor:
         return result
 
     def warmup(self, batch_size: int = 1) -> None:
-        """Pre-compile for a batch size (avoids first-call latency)."""
+        """Pre-compile for a batch size's bucket (avoids first-call latency)."""
+        bucket = 1 << (batch_size - 1).bit_length()
         s = self.cfg.image_size
-        dummy = jnp.zeros((batch_size, s, s, 3), jnp.uint8)
+        dummy = jnp.zeros((bucket, s, s, 3), jnp.uint8)
         jax.block_until_ready(
-            self._fn_for_batch(batch_size)(self.variables, dummy)
+            self._fn_for_batch(bucket)(self.variables, dummy)
         )
