@@ -35,15 +35,35 @@ def resize_image_numpy(image: np.ndarray, size: int) -> np.ndarray:
     return image[yi][:, xi]
 
 
+def letterbox_image(image: np.ndarray, size: int) -> tuple[np.ndarray, float, float]:
+    """Aspect-preserving resize onto a square canvas (zero padding at the
+    bottom/right). Returns (canvas, valid_h_frac, valid_w_frac)."""
+    h, w = image.shape[:2]
+    scale = size / max(h, w)
+    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    yi = (np.arange(nh) * (h / nh)).astype(np.int32)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int32)
+    canvas = np.zeros((size, size, 3), np.uint8)
+    canvas[:nh, :nw] = image[yi][:, xi]
+    return canvas, nh / size, nw / size
+
+
 class Predictor:
-    """Loads a detector + params and serves batched inference."""
+    """Loads a detector + params and serves batched inference.
+
+    ``preserve_aspect=True`` letterboxes inputs (no distortion; the
+    reference's square resize distorts) and maps output boxes back to the
+    original image frame.
+    """
 
     def __init__(self, cfg: Config, variables: dict,
-                 label_map: dict[int, str] | None = None):
+                 label_map: dict[int, str] | None = None,
+                 preserve_aspect: bool = False):
         self.cfg = cfg
         self.detector = Detector(cfg)
         self.variables = variables
         self.label_map = label_map
+        self.preserve_aspect = preserve_aspect
         self._jitted = {}
 
     # -------------------------------------------------------------- factory
@@ -84,7 +104,16 @@ class Predictor:
         if single:
             images = images[None]
         s = self.cfg.image_size
-        if images.shape[1] != s or images.shape[2] != s:
+        valid_frac = None
+        if self.preserve_aspect:
+            canvases, fracs = [], []
+            for im in images:
+                canvas, fh, fw = letterbox_image(im, s)
+                canvases.append(canvas)
+                fracs.append((fh, fw))
+            images = np.stack(canvases)
+            valid_frac = np.asarray(fracs, np.float32)  # (N, 2)
+        elif images.shape[1] != s or images.shape[2] != s:
             images = np.stack([resize_image_numpy(im, s) for im in images])
         images = images.astype(np.uint8)
 
@@ -96,8 +125,16 @@ class Predictor:
             )
 
         out = self._fn_for_batch(bucket)(self.variables, jnp.asarray(images))
+        boxes = np.asarray(out.boxes)[:n]
+        if valid_frac is not None:
+            # map letterboxed coords back to the original image frame
+            fh = valid_frac[:, 0][:, None, None]
+            fw = valid_frac[:, 1][:, None, None]
+            boxes = boxes.copy()
+            boxes[..., 0::2] = np.clip(boxes[..., 0::2] / fh, 0.0, 1.0)
+            boxes[..., 1::2] = np.clip(boxes[..., 1::2] / fw, 0.0, 1.0)
         result = {
-            "boxes": np.asarray(out.boxes)[:n],
+            "boxes": boxes,
             "scores": np.asarray(out.scores)[:n],
             "labels": np.asarray(out.labels)[:n],
             "num_boxes": np.asarray(out.num_boxes)[:n],

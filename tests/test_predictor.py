@@ -50,3 +50,25 @@ def test_resize_identity():
     img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     out = resize_image_numpy(img, 3)
     np.testing.assert_array_equal(out, img)
+
+
+def test_letterbox_geometry():
+    from ssd_tpu.predictor import letterbox_image
+    img = np.full((50, 100, 3), 200, np.uint8)
+    canvas, fh, fw = letterbox_image(img, 64)
+    assert canvas.shape == (64, 64, 3)
+    np.testing.assert_allclose(fw, 1.0)
+    np.testing.assert_allclose(fh, 0.5, atol=0.02)
+    assert canvas[:32, :].mean() > 190      # content on top
+    assert canvas[40:, :].max() == 0        # padding below
+
+
+def test_preserve_aspect_box_remap():
+    det = Detector(CFG)
+    v = det.init(jax.random.PRNGKey(0))
+    p = Predictor(CFG, v, preserve_aspect=True)
+    out = p.predict(np.random.default_rng(0).integers(
+        0, 255, (40, 80, 3)).astype(np.uint8))
+    assert out["boxes"].shape == (CFG.nms.max_boxes, 4)
+    b = out["boxes"]
+    assert np.all(b >= 0) and np.all(b <= 1)
