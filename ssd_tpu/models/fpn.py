@@ -98,7 +98,16 @@ class Subnet(nn.Module):
 
 
 class RetinaHead(nn.Module):
-    """Class + box subnets over all levels -> (N, A, C) logits, (N, A, 4) deltas."""
+    """Class + box subnets over all levels.
+
+    ``flatten=True`` (default): ``(N, A, C)`` logits + ``(N, A, 4)`` deltas,
+    concatenated over levels — the reference-shaped raw outputs.
+
+    ``flatten=False``: the per-level raw maps
+    ``[(cls (N, H, W, K*C), box (N, H, W, K*4)), ...]`` — lets the
+    inference postprocess select candidates per level WITHOUT the large
+    (N, A, C) relayout (see ops/postprocess.py).
+    """
 
     num_classes: int
     anchors_per_cell: int
@@ -107,7 +116,7 @@ class RetinaHead(nn.Module):
     compute_dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, pyramid: list):
+    def __call__(self, pyramid: list, flatten: bool = True):
         k = self.anchors_per_cell
         class_net = Subnet(
             self.depth, self.channels, k * self.num_classes,
@@ -119,13 +128,15 @@ class RetinaHead(nn.Module):
             compute_dtype=self.compute_dtype, name="box_net",
         )
 
+        raw = [(class_net(p), box_net(p)) for p in pyramid]
+        if not flatten:
+            return raw
+
         logits, deltas = [], []
-        for p in pyramid:
+        for (cls, box), p in zip(raw, pyramid):
             n, h, w, _ = p.shape
-            cls = class_net(p).reshape(n, h * w * k, self.num_classes)
-            box = box_net(p).reshape(n, h * w * k, 4)
-            logits.append(cls)
-            deltas.append(box)
+            logits.append(cls.reshape(n, h * w * k, self.num_classes))
+            deltas.append(box.reshape(n, h * w * k, 4))
         return (
             jnp.concatenate(logits, axis=1),
             jnp.concatenate(deltas, axis=1),

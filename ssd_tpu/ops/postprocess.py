@@ -68,6 +68,87 @@ def select_candidates(
     return boxes, scores
 
 
+def select_candidates_pyramid(
+    raw_levels: list,        # [(cls (N,H,W,K*C), box (N,H,W,K*4)), ...]
+    anchors: jnp.ndarray,    # (A, 4) in the same level-concatenated order
+    num_classes: int,
+    cfg: NMSConfig,
+    exact: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-Q candidate selection straight from per-level head outputs.
+
+    Equivalent to flatten-then-:func:`select_candidates`, but never
+    materializes the ``(N, A, C)`` logits: the max-over-classes runs on each
+    level's native ``(N, H, W, K*C)`` layout (a lane-group reduce), and only
+    the Q winning rows are gathered per level. At 640x640/80 classes this
+    avoids relaying out ~800MB per batch.
+    """
+    n = raw_levels[0][0].shape[0]
+    c = num_classes
+
+    level_max, level_sizes = [], []
+    for cls_raw, _ in raw_levels:
+        _, h, w, kc = cls_raw.shape
+        k = kc // c
+        m = jnp.max(cls_raw.reshape(n, h, w, k, c), axis=-1)  # (N,H,W,K)
+        level_max.append(m.reshape(n, h * w * k).astype(jnp.float32))
+        level_sizes.append(h * w * k)
+    max_logit = jnp.concatenate(level_max, axis=1)  # (N, A)
+
+    a = max_logit.shape[1]
+    q = min(cfg.num_candidates, a)
+    logit_thr = math.log(cfg.score_threshold / (1.0 - cfg.score_threshold))
+    max_logit = jnp.where(max_logit >= logit_thr, max_logit, -jnp.inf)
+    if exact:
+        _, idx = jax.lax.top_k(max_logit, q)
+    else:
+        _, idx = jax.lax.approx_max_k(max_logit, q, recall_target=0.98)
+
+    # Gather each candidate's (C,) logits and (4,) deltas from its level.
+    cand_logits = jnp.zeros((n, q, c), jnp.float32)
+    cand_deltas = jnp.zeros((n, q, 4), jnp.float32)
+    offset = 0
+    for (cls_raw, box_raw), a_l in zip(raw_levels, level_sizes):
+        local = idx - offset
+        valid = (local >= 0) & (local < a_l)
+        safe = jnp.clip(local, 0, a_l - 1)
+        lvl_logits = jnp.take_along_axis(
+            cls_raw.reshape(n, a_l, c), safe[..., None], axis=1
+        ).astype(jnp.float32)
+        lvl_deltas = jnp.take_along_axis(
+            box_raw.reshape(n, a_l, 4), safe[..., None], axis=1
+        ).astype(jnp.float32)
+        cand_logits = jnp.where(valid[..., None], lvl_logits, cand_logits)
+        cand_deltas = jnp.where(valid[..., None], lvl_deltas, cand_deltas)
+        offset += a_l
+
+    cand_anchors = anchors[idx]
+    boxes = box_utils.clip_boxes(box_utils.decode(cand_deltas, cand_anchors))
+    scores = jax.nn.sigmoid(cand_logits)
+    # drop candidates that were below the logit threshold (-inf max)
+    picked = jnp.take_along_axis(max_logit, idx, axis=1)
+    scores = jnp.where(jnp.isfinite(picked)[..., None], scores, 0.0)
+    return boxes, scores
+
+
+def postprocess_pyramid(
+    raw_levels: list,
+    anchors: jnp.ndarray,
+    num_classes: int,
+    cfg: NMSConfig,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    exact_topk: bool = False,
+) -> Detections:
+    boxes, scores = select_candidates_pyramid(
+        raw_levels, anchors, num_classes, cfg, exact=exact_topk
+    )
+    if use_pallas:
+        from ssd_tpu.ops.nms_pallas import batched_nms_pallas
+        return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
+    return batched_nms(boxes, scores, cfg)
+
+
 def postprocess_detections(
     logits: jnp.ndarray,
     deltas: jnp.ndarray,

@@ -71,3 +71,42 @@ def test_postprocess_respects_score_threshold(rng):
     det = postprocess_detections(logits, deltas, anchors, nms_cfg,
                                  exact_topk=True)
     assert int(det.num_boxes[0]) == 0
+
+
+def test_pyramid_path_matches_flat_path(rng):
+    """Per-level candidate selection == flatten-then-select (same NMS)."""
+    import jax
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.models.detector import Detector, normalize_images
+    from ssd_tpu.ops.postprocess import postprocess_pyramid
+
+    cfg = Config(
+        num_classes=6, image_size=64,
+        model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                          fpn_channels=32, head_depth=1,
+                          compute_dtype="float32"),
+        nms=NMSConfig(score_threshold=0.01, max_boxes=20, num_candidates=64,
+                      pre_nms_top_k=32),
+    )
+    det = Detector(cfg)
+    v = det.init(jax.random.PRNGKey(1))
+    images = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8))
+
+    x = normalize_images(images, jnp.float32)
+    logits, deltas = det.apply(v, x)
+    flat = postprocess_detections(logits, deltas, det.anchors, cfg.nms,
+                                  exact_topk=True)
+
+    raw = det.model.apply(v, x, train=False, flatten=False)
+    pyr = postprocess_pyramid(raw, det.anchors, cfg.num_classes, cfg.nms,
+                              exact_topk=True)
+
+    np.testing.assert_array_equal(np.asarray(flat.num_boxes),
+                                  np.asarray(pyr.num_boxes))
+    nb = int(flat.num_boxes.max())
+    np.testing.assert_allclose(np.asarray(flat.scores)[:, :nb],
+                               np.asarray(pyr.scores)[:, :nb], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(flat.boxes)[:, :nb],
+                               np.asarray(pyr.boxes)[:, :nb], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(flat.labels)[:, :nb],
+                                  np.asarray(pyr.labels)[:, :nb])
