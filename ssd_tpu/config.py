@@ -46,6 +46,11 @@ class ModelConfig:
     fpn_channels: int = 128
     head_depth: int = 4  # number of 3x3 convs in each subnet
     head_channels: int = 0  # 0 -> same as fpn_channels
+    # Final prediction-conv kernel size. 3 = RetinaNet standard. 1 makes the
+    # prediction a pure per-cell matmul, enabling the fused Pallas
+    # logits+max head at inference (ops/fused_head.py) — the (N, A, C)
+    # logits are never materialized.
+    head_final_kernel: int = 3
     # Conv compute dtype: bfloat16 | float32 | int8 (experimental;
     # mobilenet-only calibration-free PTQ — measured SLOWER than bf16 on
     # v5e for this bandwidth-bound model (732 vs 1008 img/s at b32/640):

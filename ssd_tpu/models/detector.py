@@ -85,7 +85,8 @@ class SSDModel(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, images, train: bool = False, flatten: bool = True):
+    def __call__(self, images, train: bool = False, flatten: bool = True,
+                 trunk_only: bool = False):
         cfg = self.cfg
         if cfg.model.stem_space_to_depth:
             # The backbone's stride-2 stem then sees a (S/2, S/2, 12)
@@ -105,8 +106,9 @@ class SSDModel(nn.Module):
             depth=cfg.model.head_depth,
             channels=head_channels,
             compute_dtype=neck_dtype,
+            final_kernel=cfg.model.head_final_kernel,
             name="head",
-        )(pyramid, flatten=flatten)
+        )(pyramid, flatten=flatten, trunk_only=trunk_only)
 
 
 class Detector:
@@ -182,7 +184,22 @@ class Detector:
         relayout better than 5 masked per-level gathers), so the flat path
         stays the default.
         """
+        cfg = self.cfg
         images = normalize_images(images_uint8)
+        if cfg.model.head_final_kernel == 1:
+            # fused head: logits never materialize (ops/fused_head.py)
+            from ssd_tpu.ops.fused_head import fused_head_detections
+            cls_trunk, box_trunk = self.model.apply(
+                variables, images, train=False, trunk_only=True
+            )
+            on_tpu = _on_tpu()
+            return fused_head_detections(
+                cls_trunk, box_trunk, variables["params"]["head"],
+                self.anchors, cfg.num_classes,
+                cfg.anchors.num_anchors_per_cell, cfg.nms,
+                use_pallas_nms=cfg.nms.use_pallas and on_tpu,
+                interpret=not on_tpu,
+            )
         logits, deltas = self.model.apply(variables, images, train=False)
         return self.postprocess(logits, deltas)
 

@@ -76,19 +76,23 @@ class Subnet(nn.Module):
     out_channels: int  # K*C for the class head, K*4 for the box head
     final_bias_init: float = 0.0
     compute_dtype: str = "bfloat16"
+    final_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, trunk_only: bool = False):
         dt = _dtype(self.compute_dtype)
         for i in range(self.depth):
             x = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=dt,
                         param_dtype=jnp.float32, name=f"conv{i}")(x)
             x = nn.relu(x)
+        if trunk_only:
+            return x
         # Prediction conv stays in compute dtype: the (N, A, C) logits are
         # the model's largest tensor (786MB at f32 for b32/640/80-class);
         # bf16 halves that HBM traffic. Loss/postprocess upcast to f32.
         x = nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=dt,
+            self.out_channels, (self.final_kernel, self.final_kernel),
+            padding="SAME", dtype=dt,
             param_dtype=jnp.float32,
             bias_init=nn.initializers.constant(self.final_bias_init),
             kernel_init=nn.initializers.normal(0.01),
@@ -114,19 +118,36 @@ class RetinaHead(nn.Module):
     depth: int = 4
     channels: int = 128
     compute_dtype: str = "bfloat16"
+    final_kernel: int = 3
 
     @nn.compact
-    def __call__(self, pyramid: list, flatten: bool = True):
+    def __call__(self, pyramid: list, flatten: bool = True,
+                 trunk_only: bool = False):
         k = self.anchors_per_cell
         class_net = Subnet(
             self.depth, self.channels, k * self.num_classes,
             final_bias_init=-math.log((1.0 - CLASS_PRIOR) / CLASS_PRIOR),
-            compute_dtype=self.compute_dtype, name="class_net",
+            compute_dtype=self.compute_dtype, final_kernel=self.final_kernel,
+            name="class_net",
         )
         box_net = Subnet(
             self.depth, self.channels, k * 4,
-            compute_dtype=self.compute_dtype, name="box_net",
+            compute_dtype=self.compute_dtype, final_kernel=self.final_kernel,
+            name="box_net",
         )
+
+        if trunk_only:
+            # per-level subnet trunks, flattened over cells and concatenated:
+            # (N, total_cells, channels) each — consumed by the fused
+            # logits+max Pallas head (ops/fused_head.py)
+            cls_t, box_t = [], []
+            for p in pyramid:
+                n, h, w, _ = p.shape
+                cls_t.append(class_net(p, trunk_only=True)
+                             .reshape(n, h * w, self.channels))
+                box_t.append(box_net(p, trunk_only=True)
+                             .reshape(n, h * w, self.channels))
+            return jnp.concatenate(cls_t, 1), jnp.concatenate(box_t, 1)
 
         raw = [(class_net(p), box_net(p)) for p in pyramid]
         if not flatten:

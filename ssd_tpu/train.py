@@ -168,31 +168,41 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     metrics = {}
     data_iter = iter(pipeline)
     logger.reset_clock()
-    while int(jax.device_get(state.step)) < num_steps:
-        batch = next(data_iter)
-        logger.tick_data()
-        state, metrics = step_fn(state, shard_batch(mesh, batch))
-        step = int(jax.device_get(state.step))
-        logger.tick_step()
+    # Track the step on host: fetching state.step each iteration would
+    # force a device sync per step and serialize host against device.
+    step = int(jax.device_get(state.step))
+    try:
+        while step < num_steps:
+            batch = next(data_iter)
+            logger.tick_data()
+            state, metrics = step_fn(state, shard_batch(mesh, batch))
+            step += 1
+            logger.tick_step()
 
-        if step % cfg.train.log_every == 0 and host_id == 0:
-            logger.log(step, metrics)
-        if step % cfg.train.checkpoint_every == 0 or preempted["flag"]:
-            ckpt.save(state, pipeline.state(), force=preempted["flag"])
-        if preempted["flag"]:
-            print("SIGTERM received: final checkpoint written, exiting",
-                  flush=True)
-            break
-        if cfg.train.eval_every and step % cfg.train.eval_every == 0:
-            try:
-                result = evaluate(detector, state, cfg, host_id, num_hosts,
-                                  mesh=mesh)
-                if host_id == 0:
-                    logger.log(step, {}, extra={
-                        "mAP": result["mAP"], "AP50": result["AP50"],
-                    })
-            except FileNotFoundError:
-                pass  # no val set configured
+            if step % cfg.train.log_every == 0 and host_id == 0:
+                logger.log(step, metrics)
+            if step % cfg.train.checkpoint_every == 0 or preempted["flag"]:
+                ckpt.save(state, pipeline.state(), force=preempted["flag"])
+            if preempted["flag"]:
+                print("SIGTERM received: final checkpoint written, exiting",
+                      flush=True)
+                break
+            if cfg.train.eval_every and step % cfg.train.eval_every == 0:
+                try:
+                    result = evaluate(detector, state, cfg, host_id,
+                                      num_hosts, mesh=mesh)
+                    if host_id == 0:
+                        logger.log(step, {}, extra={
+                            "mAP": result["mAP"], "AP50": result["AP50"],
+                        })
+                except FileNotFoundError:
+                    pass  # no val set configured
+    except Exception:
+        # crash-path checkpoint: preserve progress before propagating
+        # (estimator-style restartability, SURVEY.md §5 failure row)
+        ckpt.save(state, pipeline.state(), force=True)
+        ckpt.wait()
+        raise
 
     ckpt.save(state, pipeline.state(), force=True)
     ckpt.wait()

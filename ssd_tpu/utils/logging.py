@@ -38,7 +38,13 @@ class MetricLogger:
         self._last = now
 
     def tick_step(self) -> None:
-        """Call after the train step result is ready."""
+        """Call after the train step is dispatched.
+
+        Dispatch is async, so a single tick measures host-side time plus
+        queue backpressure; the windowed average still converges to true
+        step time because ``log()`` fetches metrics (a device sync) every
+        ``log_every`` steps.
+        """
         now = time.perf_counter()
         self._step_times.append(now - self._last)
         self._last = now
