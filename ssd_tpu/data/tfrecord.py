@@ -94,9 +94,13 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
             if len(header) < 8:
                 return
             (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
+            hcrc_raw = f.read(4)
             payload = f.read(length)
-            (pcrc,) = struct.unpack("<I", f.read(4))
+            pcrc_raw = f.read(4)
+            if len(hcrc_raw) < 4 or len(payload) < length or len(pcrc_raw) < 4:
+                return  # truncated tail (partial write/crash): stop cleanly
+            (hcrc,) = struct.unpack("<I", hcrc_raw)
+            (pcrc,) = struct.unpack("<I", pcrc_raw)
             if verify_crc:
                 if masked_crc(header) != hcrc:
                     raise IOError(f"{path}: corrupt record header")
