@@ -163,12 +163,23 @@ class Config:
         return json.dumps(dataclasses.asdict(self), indent=indent)
 
     @classmethod
-    def from_dict(cls, d: dict[str, Any]) -> "Config":
+    def from_dict(cls, d: dict[str, Any], strict: bool = True) -> "Config":
+        """``strict=True`` rejects unknown keys (catches typos in
+        user-authored configs); ``strict=False`` skips them with a warning
+        (forward-compat when loading artifacts written by older/newer
+        versions whose config schema differs)."""
         def build(dc_cls, sub):
             fields = {f.name: f for f in dataclasses.fields(dc_cls)}
             kwargs = {}
             for key, value in sub.items():
                 if key not in fields:
+                    if not strict:
+                        import warnings
+                        warnings.warn(
+                            f"ignoring unknown config key "
+                            f"{dc_cls.__name__}.{key}"
+                        )
+                        continue
                     raise KeyError(f"Unknown config key: {dc_cls.__name__}.{key}")
                 f = fields[key]
                 if dataclasses.is_dataclass(f.type) or f.name in (
@@ -189,13 +200,13 @@ class Config:
         return build(cls, d)
 
     @classmethod
-    def from_json(cls, text: str) -> "Config":
-        return cls.from_dict(json.loads(text))
+    def from_json(cls, text: str, strict: bool = True) -> "Config":
+        return cls.from_dict(json.loads(text), strict=strict)
 
     @classmethod
-    def load(cls, path: str) -> "Config":
+    def load(cls, path: str, strict: bool = True) -> "Config":
         with open(path) as f:
-            return cls.from_json(f.read())
+            return cls.from_json(f.read(), strict=strict)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

@@ -1,0 +1,81 @@
+"""Standalone evaluation CLI: exported model + val tfrecords -> mAP table.
+
+    python -m ssd_tpu.eval --export runs/r1/export \
+        [--val-pattern data/val-*.tfrecords] [--batch-size 16] [--limit N]
+
+The reference wires eval into estimator's train_and_evaluate (SURVEY.md
+§3.5); this gives the equivalent as a separate job (per-class AP@0.5 +
+COCO-style mAP), against any exported artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--export", required=True, help="inference artifact dir")
+    p.add_argument("--val-pattern", default=None,
+                   help="override config's data.val_file_pattern")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--limit", type=int, default=None,
+                   help="max batches (smoke runs)")
+    args = p.parse_args()
+
+    import jax
+
+    from ssd_tpu.data.pipeline import Pipeline
+    from ssd_tpu.eval.coco_map import DetectionEvaluator
+    from ssd_tpu.export import load_inference_artifact
+    from ssd_tpu.models.detector import Detector
+
+    cfg, variables = load_inference_artifact(args.export)
+    if args.val_pattern:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          val_file_pattern=args.val_pattern)
+        )
+    detector = Detector(cfg)
+    predict = jax.jit(lambda v, im: detector.predict(v, im))
+
+    label_map = None
+    try:
+        from ssd_tpu.predictor import Predictor
+        label_map = Predictor.from_checkpoint(args.export).label_map
+    except Exception:
+        pass
+
+    evaluator = DetectionEvaluator(cfg.num_classes)
+    pipeline = Pipeline(cfg.data.val_file_pattern, cfg, is_training=False,
+                        batch_size=args.batch_size)
+    images_seen = 0
+    for i, batch in enumerate(pipeline):
+        if args.limit is not None and i >= args.limit:
+            break
+        out = predict(variables, batch["images"])
+        evaluator.add_batch(
+            {"boxes": np.asarray(out.boxes), "scores": np.asarray(out.scores),
+             "labels": np.asarray(out.labels),
+             "num_boxes": np.asarray(out.num_boxes)},
+            batch["boxes"], batch["labels"], batch["num_boxes"],
+        )
+        images_seen += len(batch["images"])
+
+    result = evaluator.result()
+    print(f"\nevaluated {images_seen} images")
+    print(f"mAP@[.5:.95] = {result['mAP']:.4f}")
+    print(f"AP@0.5       = {result['AP50']:.4f}\n")
+    per_class = result["per_class_AP50"]
+    for c, ap in enumerate(per_class):
+        if np.isnan(ap):
+            continue
+        name = (label_map or {}).get(c, str(c))
+        print(f"  AP50[{name}] = {ap:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,7 +127,9 @@ def main() -> None:
 
 def load_inference_artifact(path: str) -> tuple[Config, dict]:
     path = os.path.abspath(path)
-    cfg = Config.load(os.path.join(path, "config.json"))
+    # lenient: artifacts written by other framework versions may carry
+    # config keys this version dropped (or lack ones it added)
+    cfg = Config.load(os.path.join(path, "config.json"), strict=False)
 
     # Restore with an abstract target so dtypes/shapes come from the model.
     # Pin a concrete sharding (replicated-on-one-device): the artifact must

@@ -48,3 +48,16 @@ def test_replace_composes():
         cfg, train=dataclasses.replace(cfg.train, batch_size=8)
     )
     assert cfg2.train.batch_size == 8 and cfg.train.batch_size == 64
+
+
+def test_lenient_load_ignores_unknown_keys():
+    import warnings
+    d = json.loads(Config().to_json())
+    d["data"]["legacy_field"] = 42
+    with pytest.raises(KeyError):
+        Config.from_dict(d)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = Config.from_dict(d, strict=False)
+    assert cfg.num_classes == 80
+    assert any("legacy_field" in str(x.message) for x in w)
