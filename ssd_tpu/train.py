@@ -126,6 +126,8 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     mesh = create_mesh()
     detector = Detector(cfg)
     tx = make_optimizer(cfg)
+    from ssd_tpu.parallel import make_lr_schedule
+    lr_fn = make_lr_schedule(cfg)
     step_fn = jit_train_step(make_train_step(detector, tx), mesh)
 
     ckpt = TrainCheckpointer(
@@ -180,7 +182,8 @@ def train(cfg: Config, workdir: str, resume: bool = True,
             logger.tick_step()
 
             if step % cfg.train.log_every == 0 and host_id == 0:
-                logger.log(step, metrics)
+                logger.log(step, metrics,
+                           extra={"learning_rate": float(lr_fn(step))})
             if step % cfg.train.checkpoint_every == 0 or preempted["flag"]:
                 ckpt.save(state, pipeline.state(), force=preempted["flag"])
             if preempted["flag"]:
