@@ -168,6 +168,7 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     # ----- loop -----------------------------------------------------------
     num_steps = max_steps or cfg.train.num_steps
     metrics = {}
+    best_map = -1.0
     data_iter = iter(pipeline)
     logger.reset_clock()
     # Track the step on host: fetching state.step each iteration would
@@ -198,6 +199,14 @@ def train(cfg: Config, workdir: str, resume: bool = True,
                         logger.log(step, {}, extra={
                             "mAP": result["mAP"], "AP50": result["AP50"],
                         })
+                        if result["mAP"] > best_map:
+                            best_map = result["mAP"]
+                            from ssd_tpu.export import save_inference_artifact
+                            save_inference_artifact(
+                                os.path.join(workdir, "best"), cfg,
+                                {"params": state.params,
+                                 "batch_stats": state.batch_stats},
+                            )
                 except FileNotFoundError:
                     pass  # no val set configured
     except Exception:
