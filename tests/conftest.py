@@ -19,11 +19,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ssd_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# REPLACE (not append) XLA_FLAGS: the ambient environment may carry
+# numerics-affecting flags (e.g. --xla_allow_excess_precision from the TPU
+# relay) that flip near-tie detection orderings and break golden tests.
+if not os.environ.get("SSD_TPU_TEST_REAL"):
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -55,13 +55,37 @@ def test_predict_matches_golden():
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
         np.savez_compressed(GOLDEN, **got)
     want = np.load(GOLDEN)
-    for key in want.files:
-        if want[key].dtype.kind in "iu":
-            np.testing.assert_array_equal(got[key], want[key], err_msg=key)
-        else:
-            np.testing.assert_allclose(
-                got[key], want[key], atol=2e-4, rtol=2e-3, err_msg=key
+
+    # raw tensors: strict elementwise comparison
+    for key in ("logits_slice", "deltas_slice", "anchors_head"):
+        np.testing.assert_allclose(
+            got[key], want[key], atol=2e-4, rtol=2e-3, err_msg=key
+        )
+    np.testing.assert_array_equal(got["num_boxes"], want["num_boxes"])
+
+    # detections: order-insensitive matching. Random-weight logits cluster
+    # near the prior, so float jitter from a different compiler build (the
+    # TPU relay's remote compile vs local XLA) can flip near-tie ORDER —
+    # the detection SET must still correspond one-to-one.
+    for i in range(len(want["num_boxes"])):
+        nb = int(want["num_boxes"][i])
+        used = set()
+        for j in range(nb):
+            found = None
+            for q in range(nb):
+                if q in used:
+                    continue
+                if (got["labels"][i, q] == want["labels"][i, j]
+                        and abs(got["scores"][i, q] - want["scores"][i, j]) < 1e-3
+                        and np.abs(got["boxes"][i, q] - want["boxes"][i, j]).max() < 1e-2):
+                    found = q
+                    break
+            assert found is not None, (
+                f"image {i}: golden detection {j} "
+                f"(label={want['labels'][i, j]}, "
+                f"score={want['scores'][i, j]:.4f}) has no match"
             )
+            used.add(found)
 
 
 if __name__ == "__main__":
