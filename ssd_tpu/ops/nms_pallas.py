@@ -8,14 +8,16 @@ batch- AND class-parallel:
 
   * jnp pre-stage: per-class top-K over the (already pre-selected, see
     ops/postprocess.py) candidates — one cheap sort over Q ~= 1024;
-  * Pallas kernel, grid = ceil(batch * classes / BLOCK): each program
-    processes BLOCK=8 independent (image, class) problems SIMULTANEOUSLY —
-    the greedy scan's per-pivot vector op then runs on a native
-    ``(8, 128)`` VPU tile instead of a ``(1, K)`` sliver, cutting the
-    sequential-iteration total by 8x. Per block it computes the
-    ``(8, K, K)`` IoU tensor with broadcast math in VMEM, then scans K
+  * Pallas kernel, grid = ceil(batch * classes / block): each program
+    processes up to BLOCK=32 independent (image, class) problems
+    SIMULTANEOUSLY (shrunk adaptively so the (B, K, K) IoU scratch fits
+    VMEM) — the greedy scan's per-pivot vector op then runs on native
+    (sublane, lane) VPU tiles instead of a ``(1, K)`` sliver, cutting the
+    sequential-iteration total by the block factor. Per block it computes
+    the ``(B, K, K)`` IoU tensor with broadcast math in VMEM, then scans K
     pivots; dynamic lane indexing (unsupported by Mosaic) is replaced by
-    one-hot reductions;
+    one-hot reductions; all-empty blocks exit early (problems are sorted
+    by activity so the empty tail clusters);
   * jnp post-stage: merge classes via global top-``max_boxes``.
 
 Results match ``ops.nms.batched_nms`` exactly on tie-free scores (tests);
@@ -153,7 +155,11 @@ def batched_nms_pallas(
         top_boxes = jnp.pad(top_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
     g = n * c
-    g_pad = _round_up(g, BLOCK)
+    # Adaptive block: the (B, K, K) IoU scratch (plus pipelining buffers)
+    # must fit the ~16MB VMEM budget. 32 measured fastest at K=128; halve
+    # as K grows (K=256 at B=32 compiles to a 29MB scoped allocation).
+    block = min(BLOCK, max(1, (4 * 1024 * 1024) // (k * k * 4)))
+    g_pad = _round_up(g, block)
     boxes_t = top_boxes.reshape(g, k, 4).transpose(0, 2, 1)  # (G, 4, K)
     scores_in = top_scores.reshape(g, 1, k).astype(jnp.float32)
     if g_pad != g:
@@ -168,7 +174,8 @@ def batched_nms_pallas(
     order = jnp.argsort(-activity)
     inverse = jnp.argsort(order)
     kept = _suppress_pallas(boxes_t[order], scores_in[order],
-                            cfg.iou_threshold, interpret=interpret)
+                            cfg.iou_threshold, interpret=interpret,
+                            block=block)
     kept = kept[inverse][:g].reshape(n, c, k)
 
     return merge_classes(top_boxes, kept, cfg)

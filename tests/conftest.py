@@ -25,6 +25,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 if not os.environ.get("SSD_TPU_TEST_REAL"):
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 
+# The TPU-relay sitecustomize imports jax at interpreter startup, BEFORE
+# this file runs — env vars alone are then too late (jax snapshots them at
+# import). Force the platform through the live config object as well.
+if not os.environ.get("SSD_TPU_TEST_REAL"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
