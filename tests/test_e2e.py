@@ -100,7 +100,7 @@ def test_full_lifecycle(tmp_path):
     ckpt.close()
 
     result = evaluate(detector, state, cfg, host_id=0, num_hosts=1)
-    # tiny model, 200 steps: demand real learning, not perfection
+    # tiny model, 400 steps: demand real learning, not perfection
     assert result["AP50"] > 0.5, result
 
     # ---- export + predictor -------------------------------------------
