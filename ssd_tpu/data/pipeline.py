@@ -144,8 +144,14 @@ class Pipeline:
         num_out = np.zeros((b,), np.int32)
 
         if self.is_training:
-            # full-size decode -> augment (crop/flip/color) -> resize
-            for j, (jpeg, boxes, labels) in enumerate(decoded):
+            # full-size decode -> augment (crop/flip/color) -> resize.
+            # Thread-parallel: the native decode/resize calls release the
+            # GIL, and each example's RNG is seeded by its id, so results
+            # are identical regardless of thread scheduling.
+            import concurrent.futures
+
+            def one(j):
+                jpeg, boxes, labels = decoded[j]
                 img = native.decode_jpeg(jpeg)
                 rng = np.random.default_rng(
                     (self.seed, epoch, int(example_ids[j]))
@@ -159,6 +165,14 @@ class Pipeline:
                     boxes_out[j, :k] = np.clip(boxes[:k], 0.0, 1.0)
                     labels_out[j, :k] = labels[:k]
                 num_out[j] = k
+
+            workers = max(1, min(cfg.data.num_workers, b))
+            if workers == 1:
+                for j in range(b):
+                    one(j)
+            else:
+                with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+                    list(pool.map(one, range(b)))
         else:
             images_out[:] = native.decode_jpeg_batch(
                 jpegs, s, s, n_threads=cfg.data.num_workers
