@@ -18,7 +18,10 @@ host loader feeding static-shape uint8 batches:
     step time and host data time overlap.
 
 Batch contract: ``images (B, S, S, 3) uint8``, ``boxes (B, M, 4) float32``
-(zero-padded), ``labels (B, M) int32``, ``num_boxes (B,) int32``.
+(zero-padded), ``labels (B, M) int32``, ``num_boxes (B,) int32``; eval
+batches additionally carry ``valid (B,) bool`` — the tail batch is padded
+to the static batch size (never dropped, never duplicated) and ``valid``
+marks the real rows.
 """
 
 from __future__ import annotations
@@ -92,10 +95,18 @@ class Pipeline:
         self.consumed = 0   # batches actually handed to the consumer
         # host-local example ids
         self._local = np.arange(len(self.index))[host_id::num_hosts]
-        if len(self._local) < self.batch_size:
+        if self.is_training and len(self._local) < self.batch_size:
             # tiny datasets: repeat to fill one batch
             reps = -(-self.batch_size // max(len(self._local), 1))
             self._local = np.tile(self._local, reps)
+        if not self.is_training:
+            # Eval must cover every example exactly once: the final partial
+            # batch is PADDED (``valid`` mask carries which rows are real),
+            # never dropped, and examples are never duplicated. All hosts
+            # run the same number of batches (padding with invalid rows) so
+            # multi-host lockstep eval cannot deadlock on unequal tails.
+            largest_host = -(-len(self.index) // num_hosts)
+            self._eval_batches = -(-largest_host // self.batch_size)
 
     # ------------------------------------------------------------ state
 
@@ -124,6 +135,8 @@ class Pipeline:
         return order
 
     def batches_per_epoch(self) -> int:
+        if not self.is_training:
+            return self._eval_batches
         return len(self._local) // self.batch_size
 
     # ------------------------------------------------------------ build
@@ -132,7 +145,10 @@ class Pipeline:
         cfg = self.cfg
         s = cfg.image_size
         m = cfg.data.max_gt_boxes
-        b = len(example_ids)
+        # Eval pads short (tail) batches to the static batch size; ``valid``
+        # marks the real rows. Training ids always fill the batch.
+        n_real = len(example_ids)
+        b = n_real if self.is_training else self.batch_size
 
         payloads = [self.index.read(i) for i in example_ids]
         decoded = [decode_detection_example(p) for p in payloads]
@@ -174,9 +190,10 @@ class Pipeline:
                 with concurrent.futures.ThreadPoolExecutor(workers) as pool:
                     list(pool.map(one, range(b)))
         else:
-            images_out[:] = native.decode_jpeg_batch(
-                jpegs, s, s, n_threads=cfg.data.num_workers
-            )
+            if jpegs:
+                images_out[:n_real] = native.decode_jpeg_batch(
+                    jpegs, s, s, n_threads=cfg.data.num_workers
+                )
             for j, (_, boxes, labels) in enumerate(decoded):
                 k = min(len(boxes), m)
                 if k:
@@ -184,19 +201,24 @@ class Pipeline:
                     labels_out[j, :k] = labels[:k]
                 num_out[j] = k
 
-        return {
+        batch = {
             "images": images_out,
             "boxes": boxes_out,
             "labels": labels_out,
             "num_boxes": num_out,
         }
+        if not self.is_training:
+            valid = np.zeros((b,), bool)
+            valid[:n_real] = True
+            batch["valid"] = valid
+        return batch
 
     # --------------------------------------------------------- iterate
 
     def _generate(self):
         while True:
             order = self._epoch_order(self.epoch)
-            nb = len(order) // self.batch_size
+            nb = self.batches_per_epoch()
             while self.position < nb:
                 pos = self.position
                 ids = order[

@@ -62,8 +62,11 @@ def main() -> None:
              "labels": np.asarray(out.labels),
              "num_boxes": np.asarray(out.num_boxes)},
             batch["boxes"], batch["labels"], batch["num_boxes"],
+            valid=batch.get("valid"),
         )
-        images_seen += len(batch["images"])
+        valid = batch.get("valid")
+        images_seen += int(valid.sum()) if valid is not None \
+            else len(batch["images"])
 
     result = evaluator.result()
     print(f"\nevaluated {images_seen} images")

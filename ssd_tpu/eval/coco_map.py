@@ -25,49 +25,82 @@ from ssd_tpu.data.augment import boxes_iou_numpy
 COCO_IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 
 
+def match_image_multi(
+    ious: np.ndarray,        # (D, G) rows score-sorted descending
+    thresholds: np.ndarray,  # (T,)
+) -> np.ndarray:
+    """Greedy COCO matching at ALL IoU thresholds at once.
+
+    Returns bool (D, T): detection d is a true positive at threshold t.
+    The detection loop is inherently sequential (each match consumes a gt),
+    but the inner scan is vectorized over (T, G), so the host cost is
+    O(D) numpy ops per image-class instead of O(D*G*T) Python ops — the
+    difference between hours and seconds at COCO scale (5k imgs x 80
+    classes x 10 thresholds).
+    """
+    d, g = ious.shape
+    t = len(thresholds)
+    tp = np.zeros((d, t), bool)
+    if d == 0 or g == 0:
+        return tp
+    taken = np.zeros((t, g), bool)
+    rows = np.arange(t)
+    for i in range(d):
+        avail = np.where(taken, -1.0, ious[i][None, :])  # (T, G)
+        # Highest-IoU untaken gt; ties go to the LAST index, matching the
+        # scalar scan this replaced (argmax alone takes the first).
+        j = g - 1 - np.argmax(avail[:, ::-1], axis=1)
+        ok = avail[rows, j] >= thresholds
+        tp[i] = ok
+        taken[rows[ok], j[ok]] = True
+    return tp
+
+
 def match_image(
     det_boxes: np.ndarray,   # (D, 4) score-sorted descending
     gt_boxes: np.ndarray,    # (G, 4)
     iou_thr: float,
 ) -> np.ndarray:
     """Greedy COCO matching. Returns bool (D,): detection is a true positive."""
-    d, g = len(det_boxes), len(gt_boxes)
-    tp = np.zeros(d, bool)
-    if d == 0 or g == 0:
-        return tp
-    ious = boxes_iou_numpy(det_boxes, gt_boxes)  # (D, G)
-    taken = np.zeros(g, bool)
-    for i in range(d):
-        j = -1
-        best = iou_thr
-        for k in range(g):
-            if not taken[k] and ious[i, k] >= best:
-                best = ious[i, k]
-                j = k
-        if j >= 0:
-            taken[j] = True
-            tp[i] = True
-    return tp
+    if len(det_boxes) == 0 or len(gt_boxes) == 0:
+        return np.zeros(len(det_boxes), bool)
+    ious = boxes_iou_numpy(det_boxes, gt_boxes)
+    return match_image_multi(ious, np.asarray([iou_thr]))[:, 0]
+
+
+def average_precision_multi(scores: np.ndarray, tp: np.ndarray,
+                            num_gt: int) -> np.ndarray:
+    """All-point-interpolated AP at every threshold column of ``tp``.
+
+    ``scores`` (D,), ``tp`` (D, T) -> AP (T,). One sort + one cumsum pass
+    shared across all T thresholds.
+    """
+    t = tp.shape[1]
+    if num_gt == 0:
+        return np.full(t, np.nan)
+    if len(scores) == 0:
+        return np.zeros(t)
+    order = np.argsort(-scores, kind="stable")
+    tp = tp[order]
+    cum_tp = np.cumsum(tp, axis=0)
+    cum_fp = np.cumsum(~tp, axis=0)
+    recall = cum_tp / num_gt
+    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+    # precision envelope
+    precision = np.maximum.accumulate(precision[::-1], axis=0)[::-1]
+    # integrate over recall deltas
+    r = np.concatenate([np.zeros((1, t)), recall], axis=0)
+    return np.sum((r[1:] - r[:-1]) * precision, axis=0)
 
 
 def average_precision(scores: np.ndarray, tp: np.ndarray,
                       num_gt: int) -> float:
     """All-point-interpolated AP from per-detection (score, tp) pairs."""
-    if num_gt == 0:
-        return float("nan")
-    if len(scores) == 0:
-        return 0.0
-    order = np.argsort(-scores, kind="stable")
-    tp = tp[order]
-    cum_tp = np.cumsum(tp)
-    cum_fp = np.cumsum(~tp)
-    recall = cum_tp / num_gt
-    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
-    # precision envelope
-    precision = np.maximum.accumulate(precision[::-1])[::-1]
-    # integrate over recall deltas
-    r = np.concatenate([[0.0], recall])
-    return float(np.sum((r[1:] - r[:-1]) * precision))
+    return float(
+        average_precision_multi(np.asarray(scores),
+                                np.asarray(tp, bool).reshape(-1, 1),
+                                num_gt)[0]
+    )
 
 
 class DetectionEvaluator:
@@ -102,15 +135,22 @@ class DetectionEvaluator:
             order = np.argsort(-scores_c, kind="stable")
             boxes_c = det_boxes[dmask][order]
             scores_c = scores_c[order]
-            tp = np.stack([
-                match_image(boxes_c, gt_boxes[gmask], thr)
-                for thr in self.iou_thresholds
-            ], axis=1)  # (D, T)
+            gt_c = gt_boxes[gmask]
+            if len(gt_c):
+                ious = boxes_iou_numpy(boxes_c, gt_c)
+                tp = match_image_multi(ious, self.iou_thresholds)  # (D, T)
+            else:
+                tp = np.zeros((len(boxes_c), len(self.iou_thresholds)), bool)
             self._scores[c].append(scores_c)
             self._tp[c].append(tp)
 
-    def add_batch(self, detections: dict, gt_boxes, gt_labels, num_boxes) -> None:
-        """detections: the Detections dict/namedtuple from predict (numpy)."""
+    def add_batch(self, detections: dict, gt_boxes, gt_labels, num_boxes,
+                  valid=None) -> None:
+        """detections: the Detections dict/namedtuple from predict (numpy).
+
+        ``valid`` (B,) bool: rows that are real examples; padded tail rows
+        of an eval batch (pipeline ``valid`` mask) are skipped.
+        """
         boxes = np.asarray(detections["boxes"] if isinstance(detections, dict)
                            else detections.boxes)
         scores = np.asarray(detections["scores"] if isinstance(detections, dict)
@@ -120,12 +160,95 @@ class DetectionEvaluator:
         nb = np.asarray(detections["num_boxes"] if isinstance(detections, dict)
                         else detections.num_boxes)
         for i in range(len(boxes)):
+            if valid is not None and not valid[i]:
+                continue
             d = int(nb[i])
             g = int(num_boxes[i])
             self.add_image(
                 boxes[i, :d], scores[i, :d], labels[i, :d],
                 np.asarray(gt_boxes[i][:g]), np.asarray(gt_labels[i][:g]),
             )
+
+    def merge(self, other: "DetectionEvaluator") -> None:
+        """Fold another evaluator's accumulated stats into this one.
+
+        Statistically exact: AP depends only on the global multiset of
+        (score, tp-vector) pairs per class plus the global gt count, so
+        evaluating disjoint shards on separate evaluators and merging equals
+        a single-stream evaluation.
+        """
+        assert other.num_classes == self.num_classes
+        assert np.allclose(other.iou_thresholds, self.iou_thresholds)
+        for c in range(self.num_classes):
+            self._scores[c].extend(other._scores[c])
+            self._tp[c].extend(other._tp[c])
+        self._num_gt += other._num_gt
+
+    def _pack(self) -> dict:
+        """Fixed-dtype flat arrays of the accumulated state (for allgather)."""
+        t = len(self.iou_thresholds)
+        scores, tps, cls = [], [], []
+        for c in range(self.num_classes):
+            for s, tp in zip(self._scores[c], self._tp[c]):
+                scores.append(np.asarray(s, np.float32))
+                tps.append(np.asarray(tp, bool))
+                cls.append(np.full(len(s), c, np.int32))
+        return {
+            "scores": (np.concatenate(scores) if scores
+                       else np.zeros(0, np.float32)),
+            "tp": (np.concatenate(tps, axis=0) if tps
+                   else np.zeros((0, t), bool)),
+            "cls": (np.concatenate(cls) if cls else np.zeros(0, np.int32)),
+            "num_gt": self._num_gt.copy(),
+        }
+
+    def _load_packed(self, packed: dict) -> None:
+        """Merge one host's packed state (inverse of :meth:`_pack`)."""
+        cls = np.asarray(packed["cls"])
+        scores = np.asarray(packed["scores"])
+        tp = np.asarray(packed["tp"], bool)
+        for c in np.unique(cls):
+            if c < 0:  # padding sentinel
+                continue
+            m = cls == c
+            self._scores[int(c)].append(scores[m])
+            self._tp[int(c)].append(tp[m])
+        self._num_gt += np.asarray(packed["num_gt"], np.int64)
+
+    def gather(self) -> "DetectionEvaluator":
+        """All-gather accumulated stats across JAX processes.
+
+        Multi-host eval (SURVEY.md §5 distributed row): each host evaluates
+        its disjoint shard of the val set, then the small per-detection
+        (score, tp, class) stats — not images — are gathered so every host
+        computes the identical GLOBAL mAP. Single-process: returns self.
+        Stats are padded to the max per-host count (class sentinel -1)
+        because allgather needs equal shapes.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils
+
+        packed = self._pack()
+        n = len(packed["scores"])
+        n_max = int(np.max(multihost_utils.process_allgather(
+            np.asarray(n, np.int64))))
+        pad = n_max - n
+        t = len(self.iou_thresholds)
+        padded = {
+            "scores": np.pad(packed["scores"], (0, pad)),
+            "tp": np.pad(packed["tp"], ((0, pad), (0, 0))),
+            "cls": np.pad(packed["cls"], (0, pad), constant_values=-1),
+            "num_gt": packed["num_gt"],
+        }
+        gathered = multihost_utils.process_allgather(padded)  # leading P dim
+        out = DetectionEvaluator(self.num_classes, self.iou_thresholds)
+        for p in range(jax.process_count()):
+            out._load_packed({k: np.asarray(v)[p] for k, v in gathered.items()})
+        assert int(out._num_gt.sum()) >= int(self._num_gt.sum())
+        return out
 
     def result(self) -> dict:
         t = len(self.iou_thresholds)
@@ -139,9 +262,7 @@ class DetectionEvaluator:
             else:
                 scores = np.zeros(0)
                 tp = np.zeros((0, t), bool)
-            for ti in range(t):
-                ap[c, ti] = average_precision(scores, tp[:, ti],
-                                              int(self._num_gt[c]))
+            ap[c] = average_precision_multi(scores, tp, int(self._num_gt[c]))
         idx50 = int(np.argmin(np.abs(self.iou_thresholds - 0.5)))
         with np.errstate(invalid="ignore"):
             return {

@@ -52,6 +52,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def model_sharded(mesh: Mesh, tree):
+    """Sharding pytree for a params-like tree with TP on the ``model`` axis.
+
+    Rank >= 2 leaves whose trailing (output-channel) dim is divisible by the
+    ``model`` axis size are channel-sharded — conv kernels ``(H, W, I, O)``
+    split on O, so each model shard computes a slice of the output feature
+    map and GSPMD inserts the all-gather before the next layer's contraction.
+    Everything else (biases, BN stats, depthwise kernels with O=1, scalars)
+    is replicated. Applied uniformly to params AND optimizer state so the
+    momentum/adam buffers live alongside their kernels.
+    """
+    msize = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if (msize > 1 and len(shape) >= 2 and shape[-1] >= 2 * msize
+                and shape[-1] % msize == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host-side batch dict onto the mesh, sharded on dim 0.
 

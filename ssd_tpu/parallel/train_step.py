@@ -115,15 +115,20 @@ def make_train_step(
     return step_fn
 
 
-def jit_train_step(step_fn, mesh) -> Callable:
-    """Shard the step over the mesh: batch on ``data``, state replicated,
-    state buffers donated."""
+def jit_train_step(step_fn, mesh, state_shardings=None) -> Callable:
+    """Shard the step over the mesh: batch on ``data``, state buffers donated.
+
+    ``state_shardings`` is an optional sharding pytree for the TrainState
+    (e.g. :func:`mesh.model_sharded` for channel-TP kernels); default is
+    fully replicated state — pure DP.
+    """
     repl = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharding(mesh)
+    state_s = repl if state_shardings is None else state_shardings
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_s, data),
+        out_shardings=(state_s, repl),
         donate_argnums=(0,),
     )
 

@@ -40,11 +40,11 @@ def evaluate(detector: Detector, state, cfg: Config, host_id: int,
 
     With a mesh, inference is data-parallel: the eval batch is sharded over
     the ``data`` axis like training batches (per-host streams are already
-    disjoint via the pipeline's host sharding). Multi-host runs produce a
-    per-host partial mAP over that host's shard of the val set; host 0's
-    number is representative for monitoring (exact global mAP requires a
-    host-side gather of detections — run a single-host eval job for final
-    reported numbers).
+    disjoint via the pipeline's host sharding). Multi-host runs gather the
+    small per-class (score, tp, num_gt) stats across processes before the
+    PR computation, so every host reports the identical GLOBAL mAP; the
+    padded tail rows of the final batch are masked out via the pipeline's
+    ``valid`` mask, so every val example counts exactly once.
     """
     from ssd_tpu.data.pipeline import Pipeline
 
@@ -75,8 +75,9 @@ def evaluate(detector: Detector, state, cfg: Config, host_id: int,
              "labels": np.asarray(out.labels),
              "num_boxes": np.asarray(out.num_boxes)},
             batch["boxes"], batch["labels"], batch["num_boxes"],
+            valid=batch.get("valid"),
         )
-    return evaluator.result()
+    return evaluator.gather().result()
 
 
 def warm_start(state, artifact_path: str):

@@ -181,3 +181,63 @@ def test_native_decode_matches_pil(rng):
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert ours.shape == pil.shape
     assert np.abs(ours.astype(int) - pil.astype(int)).mean() < 2.0
+
+
+def test_eval_pipeline_pads_tail_no_drop_no_dup(tmp_path, rng):
+    """17 examples @ batch 16 -> 2 batches, 17 valid rows, zero duplicates
+    (VERDICT r1 #5: eval must neither drop the tail nor tile tiny sets)."""
+    p = write_dataset(str(tmp_path / "t.tfrecords"), rng, 17)
+    cfg = _small_cfg()
+    pipe = Pipeline(p, cfg, is_training=False, batch_size=16)
+    batches = list(pipe)
+    assert len(batches) == 2
+    valid = np.concatenate([b["valid"] for b in batches])
+    assert int(valid.sum()) == 17
+    # padded rows are inert: no gt, zero image
+    assert batches[1]["valid"].tolist() == [True] + [False] * 15
+    assert batches[1]["num_boxes"][1:].sum() == 0
+    # tiny val set (3 < batch 16): one padded batch, no duplication
+    pipe2 = Pipeline(p, cfg, is_training=False, batch_size=16)
+    pipe2._local = pipe2._local[:3]
+    pipe2._eval_batches = 1
+    (b,) = list(pipe2)
+    assert int(b["valid"].sum()) == 3
+
+
+def test_eval_batching_invariance_of_map(tmp_path, rng):
+    """mAP over a 17-example val set is identical at batch 16 and batch 1
+    when fed the same per-example detections (VERDICT r1 #5 done-criterion)."""
+    from ssd_tpu.eval.coco_map import DetectionEvaluator
+
+    p = write_dataset(str(tmp_path / "t.tfrecords"), rng, 17)
+    cfg = _small_cfg()
+
+    def run(batch_size):
+        ev = DetectionEvaluator(4)
+        for batch in Pipeline(p, cfg, is_training=False,
+                              batch_size=batch_size):
+            b = len(batch["images"])
+            # synthetic detections derived from each example's OWN gt, so
+            # they are batching-independent: gt boxes jittered + one FP
+            boxes = np.zeros((b, 8, 4), np.float32)
+            scores = np.zeros((b, 8), np.float32)
+            labels = np.zeros((b, 8), np.int32)
+            nd = np.zeros((b,), np.int32)
+            for j in range(b):
+                k = int(batch["num_boxes"][j])
+                boxes[j, :k] = np.clip(batch["boxes"][j, :k] + 0.01, 0, 1)
+                scores[j, :k] = 0.9
+                labels[j, :k] = batch["labels"][j, :k]
+                boxes[j, k] = [0.0, 0.0, 0.05, 0.05]
+                scores[j, k] = 0.5
+                nd[j] = k + 1
+            ev.add_batch(
+                {"boxes": boxes, "scores": scores, "labels": labels,
+                 "num_boxes": nd},
+                batch["boxes"], batch["labels"], batch["num_boxes"],
+                valid=batch.get("valid"),
+            )
+        return ev.result()
+
+    a, b = run(16), run(1)
+    assert a["mAP"] == b["mAP"] and a["AP50"] == b["AP50"]
