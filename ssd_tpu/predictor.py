@@ -22,29 +22,25 @@ import jax
 import jax.numpy as jnp
 
 from ssd_tpu.config import Config
+from ssd_tpu.data import native
 from ssd_tpu.models.detector import Detector
 
 
-def resize_image_numpy(image: np.ndarray, size: int) -> np.ndarray:
-    """Nearest-neighbor uint8 resize on host (PIL-free hot path)."""
-    h, w = image.shape[:2]
-    if (h, w) == (size, size):
-        return image
-    yi = (np.arange(size) * (h / size)).astype(np.int32)
-    xi = (np.arange(size) * (w / size)).astype(np.int32)
-    return image[yi][:, xi]
+def resize_image(image: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear uint8 resize on host, matching the train/eval decode path
+    (native C++ kernel, PIL fallback) — a nearest-neighbor serve-time resize
+    would be a parity gap vs the bilinear the model was trained on."""
+    return native.resize(np.ascontiguousarray(image), size, size)
 
 
 def letterbox_image(image: np.ndarray, size: int) -> tuple[np.ndarray, float, float]:
-    """Aspect-preserving resize onto a square canvas (zero padding at the
-    bottom/right). Returns (canvas, valid_h_frac, valid_w_frac)."""
+    """Aspect-preserving bilinear resize onto a square canvas (zero padding
+    at the bottom/right). Returns (canvas, valid_h_frac, valid_w_frac)."""
     h, w = image.shape[:2]
     scale = size / max(h, w)
     nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
-    yi = (np.arange(nh) * (h / nh)).astype(np.int32)
-    xi = (np.arange(nw) * (w / nw)).astype(np.int32)
     canvas = np.zeros((size, size, 3), np.uint8)
-    canvas[:nh, :nw] = image[yi][:, xi]
+    canvas[:nh, :nw] = native.resize(np.ascontiguousarray(image), nh, nw)
     return canvas, nh / size, nw / size
 
 
@@ -114,7 +110,7 @@ class Predictor:
             images = np.stack(canvases)
             valid_frac = np.asarray(fracs, np.float32)  # (N, 2)
         elif images.shape[1] != s or images.shape[2] != s:
-            images = np.stack([resize_image_numpy(im, s) for im in images])
+            images = np.stack([resize_image(im, s) for im in images])
         images = images.astype(np.uint8)
 
         n = images.shape[0]

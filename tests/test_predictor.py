@@ -4,7 +4,7 @@ import jax
 
 from ssd_tpu.config import Config, ModelConfig, NMSConfig
 from ssd_tpu.models.detector import Detector
-from ssd_tpu.predictor import Predictor, resize_image_numpy
+from ssd_tpu.predictor import Predictor, resize_image
 
 CFG = Config(
     num_classes=3, image_size=64,
@@ -48,8 +48,36 @@ def test_bucket_padding_does_not_change_results():
 
 def test_resize_identity():
     img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
-    out = resize_image_numpy(img, 3)
+    out = resize_image(img, 3)
     np.testing.assert_array_equal(out, img)
+
+
+def test_resize_is_bilinear_and_matches_train_path():
+    """Serve-time resize must be the SAME bilinear kernel as the train/eval
+    decode path (VERDICT r1 #8), not the old nearest-neighbor indexing.
+
+    PIL comparison uses a smooth gradient: on smooth content true 2-tap
+    bilinear and PIL's antialiased BILINEAR agree closely (they diverge on
+    per-pixel noise by design — PIL widens the filter when downscaling).
+    """
+    from PIL import Image
+
+    from ssd_tpu.data import native
+
+    y, x = np.mgrid[0:96, 0:128]
+    img = np.stack([y * 2, x * 1.5, (y + x)], -1).astype(np.uint8)
+    ours = resize_image(img, 64).astype(int)
+    # identical to the pipeline's resize kernel
+    np.testing.assert_array_equal(ours, native.resize(img, 64, 64))
+    pil = np.asarray(
+        Image.fromarray(img).resize((64, 64), Image.BILINEAR), np.uint8
+    ).astype(int)
+    assert np.abs(ours - pil).mean() < 2.0
+    # and clearly not nearest-neighbor: nearest on a gradient shifts values
+    yi = (np.arange(64) * (96 / 64)).astype(np.int32)
+    xi = (np.arange(64) * (128 / 64)).astype(np.int32)
+    nearest = img[yi][:, xi].astype(int)
+    assert not np.array_equal(ours, nearest)
 
 
 def test_letterbox_geometry():
