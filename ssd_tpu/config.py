@@ -95,6 +95,12 @@ class NMSConfig:
     num_candidates: int = 1024  # global top-Q anchors kept before class-wise NMS
     pre_nms_top_k: int = 128  # per-class candidates entering suppression
     use_pallas: bool = True  # on TPU use the Pallas kernel; jnp fallback otherwise
+    # Candidate selection strategy:
+    #   "anchors" — flatten to (N, A, C) logits, approximate top-Q anchors;
+    #   "cells"   — cell-major selection in the conv-native layout (no
+    #               (N, A, C) relayout, exact cell top-k); see
+    #               ops/postprocess.select_candidates_cells.
+    select: str = "cells"
 
 
 @dataclasses.dataclass(frozen=True)

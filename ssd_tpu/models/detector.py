@@ -200,6 +200,18 @@ class Detector:
                 use_pallas_nms=cfg.nms.use_pallas and on_tpu,
                 interpret=not on_tpu,
             )
+        if cfg.nms.select == "cells":
+            # layout-native cell-major selection: the (N, A, C) logits are
+            # never materialized (see ops/postprocess.select_candidates_cells)
+            from ssd_tpu.ops.postprocess import postprocess_cells
+            raw = self.model.apply(variables, images, train=False,
+                                   flatten=False)
+            on_tpu = _on_tpu()
+            return postprocess_cells(
+                raw, self.anchors, cfg.num_classes, cfg.nms,
+                use_pallas=cfg.nms.use_pallas and on_tpu,
+                interpret=not on_tpu,
+            )
         logits, deltas = self.model.apply(variables, images, train=False)
         return self.postprocess(logits, deltas)
 

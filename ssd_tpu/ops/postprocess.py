@@ -131,6 +131,109 @@ def select_candidates_pyramid(
     return boxes, scores
 
 
+def select_candidates_cells(
+    raw_levels: list,        # [(cls (N,H,W,K*C), box (N,H,W,K*4)), ...]
+    anchors: jnp.ndarray,    # (A, 4) in the same level-concatenated order
+    num_classes: int,
+    cfg: NMSConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CELL-major top-Q candidate selection — the layout-native fast path.
+
+    Profiling the flat path at b64/640/80c shows ~15 ms of pure data
+    movement: the (N, H, W, K*C) -> (N, A, C) relayout+concat of the class
+    maps (~7.5 ms for P3 alone) and ``approx_max_k`` lowering to a FULL SORT
+    of (N, 76725) (~4.2 ms). This variant touches the big class maps exactly
+    once, in their native conv layout:
+
+      1. per-level per-CELL max over all K*C lanes — a pure lane reduce,
+         no relayout, output (N, H*W) is tiny;
+      2. exact ``top_k`` over the concatenated (N, cells) maxes (8525 cells
+         at 640px — 9x smaller than anchors, so exact beats approximate);
+      3. gather the winning cells' FULL (K*C,) lane rows — contiguous
+         vectors, the gather XLA is good at — then split K*C -> (K, C) on
+         the small (N, Q_cells, K*C) tensor only.
+
+    Selection granularity is cells, not anchors: the top
+    ``num_candidates // K`` cells by best-anchor-best-class logit enter NMS
+    with ALL their K anchors (>= num_candidates anchors total). An anchor
+    is only lost if its entire cell is colder than ``Q_cells`` other cells
+    — comparable recall to the flat path's approximate top-k (0.98 target),
+    and every surviving anchor still carries its exact scores.
+    """
+    n = raw_levels[0][0].shape[0]
+    c = num_classes
+    kc = raw_levels[0][0].shape[-1]
+    k = kc // c
+
+    # 1. per-cell max (lane reduce in conv layout; no relayout)
+    cell_max, cells_per_level = [], []
+    for cls_raw, _ in raw_levels:
+        _, h, w, _ = cls_raw.shape
+        m = jnp.max(cls_raw, axis=-1)  # (N, H, W)
+        cell_max.append(m.reshape(n, h * w).astype(jnp.float32))
+        cells_per_level.append(h * w)
+    cell_logit = jnp.concatenate(cell_max, axis=1)  # (N, cells)
+    total_cells = cell_logit.shape[1]
+
+    logit_thr = math.log(cfg.score_threshold / (1.0 - cfg.score_threshold))
+    cell_logit = jnp.where(cell_logit >= logit_thr, cell_logit, -jnp.inf)
+
+    q_cells = min(-(-cfg.num_candidates // k), total_cells)
+    top_logit, cell_idx = jax.lax.top_k(cell_logit, q_cells)  # (N, Qc)
+
+    # 3. gather whole cells per level (contiguous K*C / K*4 lane rows)
+    cand_cls = jnp.zeros((n, q_cells, kc), raw_levels[0][0].dtype)
+    cand_box = jnp.zeros((n, q_cells, 4 * k), raw_levels[0][1].dtype)
+    offset = 0
+    for (cls_raw, box_raw), n_cells in zip(raw_levels, cells_per_level):
+        local = cell_idx - offset
+        valid = (local >= 0) & (local < n_cells)
+        safe = jnp.clip(local, 0, n_cells - 1)
+        lvl_cls = jnp.take_along_axis(
+            cls_raw.reshape(n, n_cells, kc), safe[..., None], axis=1
+        )
+        lvl_box = jnp.take_along_axis(
+            box_raw.reshape(n, n_cells, 4 * k), safe[..., None], axis=1
+        )
+        cand_cls = jnp.where(valid[..., None], lvl_cls, cand_cls)
+        cand_box = jnp.where(valid[..., None], lvl_box, cand_box)
+        offset += n_cells
+
+    q = q_cells * k
+    cand_logits = cand_cls.reshape(n, q, c).astype(jnp.float32)
+    cand_deltas = cand_box.reshape(n, q, 4).astype(jnp.float32)
+
+    # anchors grouped by cell at trace time: (A, 4) -> (cells, K, 4)
+    cell_anchors = anchors.reshape(total_cells, k, 4)
+    cand_anchors = cell_anchors[cell_idx].reshape(n, q, 4)
+
+    boxes = box_utils.clip_boxes(box_utils.decode(cand_deltas, cand_anchors))
+    scores = jax.nn.sigmoid(cand_logits)
+    # zero out anchors from below-threshold (padding) cells
+    live = jnp.isfinite(top_logit)  # (N, Qc)
+    scores = jnp.where(
+        jnp.repeat(live, k, axis=1)[..., None], scores, 0.0
+    )
+    return boxes, scores
+
+
+def postprocess_cells(
+    raw_levels: list,
+    anchors: jnp.ndarray,
+    num_classes: int,
+    cfg: NMSConfig,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Detections:
+    boxes, scores = select_candidates_cells(
+        raw_levels, anchors, num_classes, cfg
+    )
+    if use_pallas:
+        from ssd_tpu.ops.nms_pallas import batched_nms_pallas
+        return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
+    return batched_nms(boxes, scores, cfg)
+
+
 def postprocess_pyramid(
     raw_levels: list,
     anchors: jnp.ndarray,

@@ -117,8 +117,13 @@ def warm_start(state, artifact_path: str):
 
 
 def train(cfg: Config, workdir: str, resume: bool = True,
-          max_steps: int | None = None) -> dict:
-    """Run the training loop; returns final metrics."""
+          max_steps: int | None = None, profile_steps: int = 0) -> dict:
+    """Run the training loop; returns final metrics.
+
+    ``profile_steps > 0`` captures a profiler trace of that many steady-state
+    steps (starting at the 10th step of this run) into ``workdir/profile`` —
+    one command for input-vs-step time attribution (open with XProf/
+    TensorBoard)."""
     from ssd_tpu.data.pipeline import Pipeline
 
     host_id = jax.process_index()
@@ -175,13 +180,28 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     # Track the step on host: fetching state.step each iteration would
     # force a device sync per step and serialize host against device.
     step = int(jax.device_get(state.step))
+    profile_start = step + 10 if profile_steps > 0 else -1
+    profiling = False
     try:
         while step < num_steps:
+            if step == profile_start and host_id == 0:
+                from ssd_tpu.utils import profiling as prof
+                jax.block_until_ready(state)  # trace only steady-state work
+                prof_dir = os.path.join(workdir, "profile")
+                prof.start_trace(prof_dir)
+                profiling = True
+                print(f"profiler: tracing {profile_steps} steps -> "
+                      f"{prof_dir}", flush=True)
             batch = next(data_iter)
             logger.tick_data()
             state, metrics = step_fn(state, shard_batch(mesh, batch))
             step += 1
             logger.tick_step()
+            if profiling and step >= profile_start + profile_steps:
+                from ssd_tpu.utils import profiling as prof
+                jax.block_until_ready(state)
+                prof.stop_trace()
+                profiling = False
 
             if step % cfg.train.log_every == 0 and host_id == 0:
                 logger.log(step, metrics,
@@ -216,6 +236,10 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         ckpt.save(state, pipeline.state(), force=True)
         ckpt.wait()
         raise
+    finally:
+        if profiling:  # loop ended inside the trace window
+            from ssd_tpu.utils import profiling as prof
+            prof.stop_trace()
 
     ckpt.save(state, pipeline.state(), force=True)
     ckpt.wait()
@@ -248,6 +272,9 @@ def main() -> None:
     p.add_argument("--workdir", required=True)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a profiler trace of N steady-state steps "
+                        "into WORKDIR/profile")
     args = p.parse_args()
 
     if not os.path.exists(args.config):
@@ -256,7 +283,7 @@ def main() -> None:
     os.makedirs(args.workdir, exist_ok=True)
     cfg.save(os.path.join(args.workdir, "config.json"))
     train(cfg, args.workdir, resume=not args.no_resume,
-          max_steps=args.max_steps)
+          max_steps=args.max_steps, profile_steps=args.profile)
 
 
 if __name__ == "__main__":

@@ -17,14 +17,25 @@ def start_server(port: int = 9999):
     return jax.profiler.start_server(port)
 
 
+def start_trace(log_dir: str) -> None:
+    """Begin capturing a trace into ``log_dir`` (see :func:`stop_trace`).
+
+    Used by ``train.py --profile N`` to bracket N steady-state steps."""
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a trace for the enclosed steps into ``log_dir``."""
-    jax.profiler.start_trace(log_dir)
+    start_trace(log_dir)
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        stop_trace()
 
 
 def annotate(name: str):

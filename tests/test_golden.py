@@ -15,19 +15,27 @@ from ssd_tpu.config import Config, ModelConfig, NMSConfig
 from ssd_tpu.models.detector import Detector
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "predict_v1.npz")
+GOLDEN_CELLS = os.path.join(os.path.dirname(__file__), "goldens",
+                            "predict_cells_v1.npz")
 
+# predict_v1.npz was generated with the anchor-level selection path; pin it
+# so the golden keeps guarding that path (+ the geometry/model core) after
+# cell-level selection became the serving default. The cells default has
+# its own golden below — with random-weight logits clustered at the prior,
+# the two approximate top-k granularities legitimately keep different
+# near-tie candidates.
 CFG = Config(
     num_classes=5,
     image_size=96,
     model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
                       fpn_channels=32, head_depth=1, compute_dtype="float32"),
     nms=NMSConfig(score_threshold=0.01, max_boxes=20, num_candidates=128,
-                  pre_nms_top_k=64),
+                  pre_nms_top_k=64, select="anchors"),
 )
 
 
-def _compute():
-    det = Detector(CFG)
+def _compute(cfg=CFG):
+    det = Detector(cfg)
     variables = det.init(jax.random.PRNGKey(42))
     rng = np.random.default_rng(7)
     images = rng.integers(0, 255, (2, 96, 96, 3)).astype(np.uint8)
@@ -49,12 +57,11 @@ def _compute():
     }
 
 
-def test_predict_matches_golden():
-    got = _compute()
-    if not os.path.exists(GOLDEN):  # first run: write and pass
-        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        np.savez_compressed(GOLDEN, **got)
-    want = np.load(GOLDEN)
+def _check_against(got, golden_path):
+    if not os.path.exists(golden_path):  # first run: write and pass
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        np.savez_compressed(golden_path, **got)
+    want = np.load(golden_path)
 
     # raw tensors: strict elementwise comparison
     for key in ("logits_slice", "deltas_slice", "anchors_head"):
@@ -88,9 +95,27 @@ def test_predict_matches_golden():
             used.add(found)
 
 
+def test_predict_matches_golden():
+    _check_against(_compute(), GOLDEN)
+
+
+def test_predict_cells_matches_golden():
+    """Same guard for the cell-level selection serving default."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, nms=dataclasses.replace(CFG.nms, select="cells")
+    )
+    _check_against(_compute(cfg), GOLDEN_CELLS)
+
+
 if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        import dataclasses
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
         np.savez_compressed(GOLDEN, **_compute())
-        print(f"regenerated {GOLDEN}")
+        cfg = dataclasses.replace(
+            CFG, nms=dataclasses.replace(CFG.nms, select="cells")
+        )
+        np.savez_compressed(GOLDEN_CELLS, **_compute(cfg))
+        print(f"regenerated {GOLDEN} and {GOLDEN_CELLS}")

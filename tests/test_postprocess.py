@@ -110,3 +110,53 @@ def test_pyramid_path_matches_flat_path(rng):
                                np.asarray(pyr.boxes)[:, :nb], atol=1e-6)
     np.testing.assert_array_equal(np.asarray(flat.labels)[:, :nb],
                                   np.asarray(pyr.labels)[:, :nb])
+
+
+def test_cells_path_matches_flat_path(rng):
+    """Cell-major selection (the default serving path) == flatten-then-
+    select on sparse detections, where both paths keep every hot anchor.
+
+    Sparse is the realistic regime: selection granularity (cells vs
+    anchors) only diverges when more than Q_cells cells carry
+    above-threshold anchors, i.e. when candidates overflow either way.
+    """
+    from ssd_tpu.ops.postprocess import postprocess_cells
+
+    cfg = Config(num_classes=8, image_size=128)
+    anchors = jnp.asarray(generate_anchors(cfg.image_size, cfg.anchors))
+    k = cfg.anchors.num_anchors_per_cell
+    c = cfg.num_classes
+    sizes = cfg.feature_map_sizes()
+    n = 3
+
+    raw = []
+    for (h, w) in sizes:
+        cls = np.full((n, h, w, k * c), -10.0, np.float32)
+        box = rng.normal(0, 0.3, (n, h, w, k * 4)).astype(np.float32)
+        raw.append([cls, box])
+    for i in range(n):  # ~60 hot anchors per image, random cells/classes
+        for _ in range(60):
+            li = rng.integers(0, len(sizes))
+            h, w = sizes[li]
+            y, x = rng.integers(0, h), rng.integers(0, w)
+            a, cc = rng.integers(0, k), rng.integers(0, c)
+            raw[li][0][i, y, x, a * c + cc] = rng.normal(1.0, 1.0)
+    raw = [(jnp.asarray(cl), jnp.asarray(bx)) for cl, bx in raw]
+    logits = jnp.concatenate([cl.reshape(n, -1, c) for cl, _ in raw], 1)
+    deltas = jnp.concatenate([bx.reshape(n, -1, 4) for _, bx in raw], 1)
+
+    flat = postprocess_detections(logits, deltas, anchors, cfg.nms,
+                                  exact_topk=True)
+    cells = postprocess_cells(raw, anchors, c, cfg.nms)
+
+    np.testing.assert_array_equal(np.asarray(flat.num_boxes),
+                                  np.asarray(cells.num_boxes))
+    for i in range(n):
+        nb = int(flat.num_boxes[i])
+        fs = sorted(zip(np.round(np.asarray(flat.scores[i, :nb]), 5),
+                        np.asarray(flat.labels[i, :nb]),
+                        map(tuple, np.round(np.asarray(flat.boxes[i, :nb]), 5))))
+        cs = sorted(zip(np.round(np.asarray(cells.scores[i, :nb]), 5),
+                        np.asarray(cells.labels[i, :nb]),
+                        map(tuple, np.round(np.asarray(cells.boxes[i, :nb]), 5))))
+        assert fs == cs
