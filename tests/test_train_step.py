@@ -123,3 +123,53 @@ def test_sharded_evaluate(tmp_path, rng):
     assert abs(r_plain["mAP"] - r_mesh["mAP"]) < 1e-6 or (
         np.isnan(r_plain["mAP"]) and np.isnan(r_mesh["mAP"])
     )
+
+
+def test_multihost_eval_merge_equals_single_stream(tmp_path, rng):
+    """Simulated 2-host eval: each host's disjoint shard evaluated on its
+    own DetectionEvaluator, then merged (the same reduction the multi-host
+    ``gather()`` performs over processes) == the single-host number.
+
+    Exercises the host-sharded eval pipelines + padded tail batches +
+    per-class stat merge — everything in the real multi-host eval except
+    the wire transport (which test_eval's pack/load roundtrip covers).
+    """
+    import sys
+    sys.path.insert(0, "tests")
+    from test_e2e import write_synth_dataset, make_cfg
+
+    from ssd_tpu.data.pipeline import Pipeline
+    from ssd_tpu.eval.coco_map import DetectionEvaluator
+
+    write_synth_dataset(tmp_path / "train.tfrecords", 16, seed=0)
+    write_synth_dataset(tmp_path / "val.tfrecords", 17, seed=1)  # odd tail
+    cfg = make_cfg(tmp_path)
+    det = Detector(cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    predict = jax.jit(lambda v, im: det.predict(v, im))
+
+    def run(host_id, num_hosts):
+        ev = DetectionEvaluator(cfg.num_classes)
+        pipe = Pipeline(cfg.data.val_file_pattern, cfg, is_training=False,
+                        batch_size=4, host_id=host_id, num_hosts=num_hosts)
+        for batch in pipe:
+            out = predict(variables, batch["images"])
+            ev.add_batch(
+                {"boxes": np.asarray(out.boxes),
+                 "scores": np.asarray(out.scores),
+                 "labels": np.asarray(out.labels),
+                 "num_boxes": np.asarray(out.num_boxes)},
+                batch["boxes"], batch["labels"], batch["num_boxes"],
+                valid=batch.get("valid"),
+            )
+        return ev
+
+    single = run(0, 1).result()
+    h0, h1 = run(0, 2), run(1, 2)
+    h0.merge(h1)
+    merged = h0.result()
+    for key in ("mAP", "AP50"):
+        a, b = single[key], merged[key]
+        assert (np.isnan(a) and np.isnan(b)) or abs(a - b) < 1e-9, (key, a, b)
