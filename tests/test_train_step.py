@@ -173,3 +173,36 @@ def test_multihost_eval_merge_equals_single_stream(tmp_path, rng):
     for key in ("mAP", "AP50"):
         a, b = single[key], merged[key]
         assert (np.isnan(a) and np.isnan(b)) or abs(a - b) < 1e-9, (key, a, b)
+
+
+def test_channel_tp_matches_replicated(rng):
+    """One train step with conv kernels channel-sharded over the model
+    axis (2-D (4, 2) mesh, the dryrun_multichip placement) produces the
+    same loss and the same updated params as pure replicated DP."""
+    from ssd_tpu.parallel import model_sharded
+
+    det = Detector(TINY)
+    tx = make_optimizer(TINY)
+    batch_np = _tiny_batch(rng)
+
+    def run(model_parallelism):
+        mesh = create_mesh(model_parallelism=model_parallelism)
+        state = create_train_state(det, jax.random.PRNGKey(0), tx)
+        shardings = model_sharded(mesh, state)
+        state = jax.device_put(state, shardings)
+        if model_parallelism > 1:
+            n_tp = sum(
+                1 for s in jax.tree_util.tree_leaves(shardings)
+                if s.spec != jax.sharding.PartitionSpec()
+            )
+            assert n_tp > 0  # something really is sharded on the model axis
+        step = jit_train_step(make_train_step(det, tx), mesh, shardings)
+        state, metrics = step(state, shard_batch(mesh, batch_np))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_dp, params_dp = run(1)
+    loss_tp, params_tp = run(2)
+    assert abs(loss_dp - loss_tp) < 1e-5, (loss_dp, loss_tp)
+    for a, b in zip(jax.tree_util.tree_leaves(params_dp),
+                    jax.tree_util.tree_leaves(params_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
