@@ -78,6 +78,11 @@ class LossConfig:
     use_ohem: bool = False
     ohem_neg_ratio: float = 3.0
     ohem_min_negatives: int = 16
+    # Compute the loss per pyramid level in the head's conv-native layout
+    # (losses.detection_loss_levels) instead of over the concatenated
+    # (N, A, C) logits: same loss, but skips ~11 ms/step of concat/relayout
+    # glue at b32/640 (BENCHMARKS.md round-2 training trace).
+    per_level: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

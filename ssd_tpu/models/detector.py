@@ -146,19 +146,30 @@ class Detector:
         """
         cfg = self.cfg
         images = normalize_images(batch["images"])
+        # OHEM ranks per-anchor losses, which the per-level path never
+        # materializes — it falls back to the flat (N, A, C) loss.
+        per_level = cfg.losses.per_level and not cfg.losses.use_ohem
         if train:
-            (logits, deltas), new_state = self.model.apply(
-                variables, images, train=True, mutable=["batch_stats"]
+            raw, new_state = self.model.apply(
+                variables, images, train=True, mutable=["batch_stats"],
+                flatten=not per_level,
             )
         else:
-            logits, deltas = self.model.apply(variables, images, train=False)
+            raw = self.model.apply(variables, images, train=False,
+                                   flatten=not per_level)
             new_state = {}
 
         targets = create_targets(
             self.anchors, batch["boxes"], batch["labels"], batch["num_boxes"],
-            cfg.num_classes, cfg.matcher,
+            cfg.num_classes, cfg.matcher, class_onehot=not per_level,
         )
-        ld = losses.detection_loss(logits, deltas, targets, cfg.losses)
+        if per_level:
+            ld = losses.detection_loss_levels(
+                raw, targets, batch["labels"], cfg.num_classes, cfg.losses
+            )
+        else:
+            logits, deltas = raw
+            ld = losses.detection_loss(logits, deltas, targets, cfg.losses)
         reg = losses.l2_regularization(
             variables["params"], cfg.losses.weight_decay
         )

@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ssd_tpu.config import LossConfig
 from ssd_tpu.ops.targets import Targets
@@ -86,6 +87,94 @@ def detection_loss(
         jnp.sum(jnp.sum(loc_elem, axis=-1) * targets.reg_weights) / num_pos
     )
 
+    total = (
+        cfg.classification_weight * cls_loss + cfg.localization_weight * loc_loss
+    )
+    return LossDict(total, cls_loss, loc_loss, num_pos)
+
+
+def detection_loss_levels(
+    raw_levels: list,            # [(cls (N,H,W,K*C), box (N,H,W,K*4)), ...]
+    targets: Targets,            # cls_targets may be None (class_onehot=False)
+    gt_labels: jnp.ndarray,      # (N, M) int32
+    num_classes: int,
+    cfg: LossConfig,
+) -> LossDict:
+    """Per-level detection loss in the head's conv-native layout.
+
+    Numerically the same loss as :func:`detection_loss` (identical terms,
+    per-level summation order), built for how XLA actually lowers it.
+    Three generations of this path were traced on the real chip
+    (BENCHMARKS.md round-2):
+
+      * the flat path's (N, A, C) logits concat costs ~6 ms/step of
+        layout copies, and lining the conv-native logits up with an
+        einsum-produced one-hot costs ~9 ms more;
+      * an (N, H, W, K, C) rank-5 compare pads tiles to (16, 128) —
+        2.8x memory inflation on every pass;
+      * and EACH (N, H, W, K) -> (N, H, W, K*C) repeat/broadcast operand
+        costs ~2.8 ms/level because XLA materializes it (minor-dim
+        expansion cannot fuse).
+
+    So this path uses ONE broadcast operand per level: the per-anchor
+    state (matched class id, NEGATIVE, or IGNORED) packed into a single
+    (N, H, W, K) float, expanded inside the fusion via K free minor-dim
+    broadcasts against static per-k indicators, then compared against a
+    static (K*C,) class-id row to regenerate the one-hot and the ignore
+    mask in place. The focal elementwise then runs directly on the
+    (N, H, W, K*C) conv output in its native layout; only scalars leave.
+
+    OHEM needs per-anchor classification sums, which would reintroduce
+    the rank-5 reduce — with ``use_ohem`` the caller should use the flat
+    :func:`detection_loss` instead (Detector.loss does).
+    """
+    assert targets.matched_labels is not None, (
+        "detection_loss_levels needs create_targets(class_onehot=False)")
+    assert not cfg.use_ohem, "per-level loss does not support OHEM"
+
+    neg_v, ign_v = float(num_classes), float(num_classes + 1)
+    cls_sum = jnp.zeros((), jnp.float32)
+    loc_pa = []
+    off = 0
+    for cls_map, box_map in raw_levels:
+        n, h, w, kc = cls_map.shape
+        k = kc // num_classes
+        al = h * w * k
+
+        # (N, H, W, K) anchor-state plane for this level
+        lab = targets.matched_labels[:, off:off + al].reshape(n, h, w, k)
+        pos = targets.reg_weights[:, off:off + al].reshape(n, h, w, k)
+        wgt = targets.cls_weights[:, off:off + al].reshape(n, h, w, k)
+        enc = jnp.where(wgt > 0, jnp.where(pos > 0, lab, neg_v), ign_v)
+
+        # expand to (N, H, W, K*C) inside the fusion: minor-dim broadcasts
+        # of (N, H, W, 1) slices against static indicators are free
+        cls_ids = jnp.asarray(
+            np.tile(np.arange(num_classes, dtype=np.float32), k))
+        s = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            ind = jnp.asarray(
+                (np.arange(kc) // num_classes == i).astype(np.float32))
+            s = s + enc[..., i][..., None] * ind
+        t = (s == cls_ids).astype(jnp.float32)
+        valid = (s != ign_v).astype(jnp.float32)
+
+        x = cls_map.astype(jnp.float32)
+        elem = sigmoid_focal_loss(x, t, cfg.focal_alpha, cfg.focal_gamma)
+        cls_sum = cls_sum + jnp.sum(elem * valid)
+
+        box_l = box_map.reshape(n, al, 4).astype(jnp.float32)
+        loc_elem = smooth_l1_loss(
+            box_l, targets.reg_targets[:, off:off + al], cfg.smooth_l1_delta
+        )
+        loc_pa.append(jnp.sum(loc_elem, axis=-1))  # (N, Al)
+        off += al
+
+    num_pos = jnp.maximum(jnp.sum(targets.reg_weights), 1.0)
+    cls_loss = cls_sum / num_pos
+    loc_loss = (
+        jnp.sum(jnp.concatenate(loc_pa, 1) * targets.reg_weights) / num_pos
+    )
     total = (
         cfg.classification_weight * cls_loss + cfg.localization_weight * loc_loss
     )

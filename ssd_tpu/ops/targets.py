@@ -24,10 +24,13 @@ from ssd_tpu.ops.matching import match_anchors
 
 class Targets(NamedTuple):
     reg_targets: jnp.ndarray   # (N, A, 4) encoded box targets (0 where not positive)
-    cls_targets: jnp.ndarray   # (N, A, C) one-hot (all-zero for negatives)
+    cls_targets: jnp.ndarray   # (N, A, C) one-hot (all-zero for negatives);
+    #                            None when created with class_onehot=False
     cls_weights: jnp.ndarray   # (N, A) 1 for positives+negatives, 0 for ignored
     reg_weights: jnp.ndarray   # (N, A) 1 for positives only
     matches: jnp.ndarray       # (N, A) raw match indices
+    matched_labels: jnp.ndarray | None = None  # (N, A) f32 class id of the
+    #                            matched gt (0 where not positive)
 
 
 def create_targets(
@@ -37,6 +40,7 @@ def create_targets(
     num_boxes: jnp.ndarray,    # (N,)
     num_classes: int,
     matcher_cfg: MatcherConfig,
+    class_onehot: bool = True,
 ) -> Targets:
     matches = match_anchors(anchors, gt_boxes, num_boxes, matcher_cfg)  # (N, A)
 
@@ -60,14 +64,30 @@ def create_targets(
     reg_targets = box_utils.encode(matched_boxes, anchors[None])
     reg_targets = jnp.where(positive[..., None], reg_targets, 0.0)
 
-    # one-hot(C) of the matched label = sel @ one-hot(C) of the gt labels —
-    # fuses the label gather and the class one-hot into one contraction.
-    label_one_hot = _one_hot(gt_labels, num_classes)  # (N, M, C)
-    cls_targets = jnp.einsum("nam,nmc->nac", sel, label_one_hot)
+    matched_labels = None
+    if class_onehot:
+        # one-hot(C) of the matched label = sel @ one-hot(C) of the gt
+        # labels — fuses the label gather and the class one-hot into one
+        # contraction.
+        label_one_hot = _one_hot(gt_labels, num_classes)  # (N, M, C)
+        cls_targets = jnp.einsum("nam,nmc->nac", sel, label_one_hot)
+    else:
+        # The (N, A, C) one-hot is the largest target tensor AND an
+        # einsum output whose layout never matches the conv-native logits
+        # (forcing ~9 ms/step of f32 relayout copies at b32/640). The
+        # per-level loss (losses.detection_loss_levels) instead rebuilds
+        # the one-hot INLINE from the matched class id with a broadcast
+        # compare that XLA fuses into the focal loop — only the (N, A)
+        # label row is produced here (exact: class ids << 2**24 in f32).
+        cls_targets = None
+        matched_labels = jnp.einsum(
+            "nam,nm->na", sel, gt_labels.astype(jnp.float32)
+        )
 
     cls_weights = jnp.where(ignored, 0.0, 1.0)
     reg_weights = positive.astype(jnp.float32)
-    return Targets(reg_targets, cls_targets, cls_weights, reg_weights, matches)
+    return Targets(reg_targets, cls_targets, cls_weights, reg_weights,
+                   matches, matched_labels)
 
 
 def _one_hot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:

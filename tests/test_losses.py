@@ -139,3 +139,59 @@ def test_l2_regularization_skips_biases():
     }
     got = float(losses.l2_regularization(params, 2.0))
     np.testing.assert_allclose(got, 0.5 * 2.0 * 9.0, rtol=1e-6)
+
+
+def test_per_level_loss_matches_flat():
+    """detection_loss_levels == detection_loss through the full Detector
+    (values AND gradients) — the per-level path is a layout optimization,
+    not a different loss."""
+    import dataclasses
+
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.models.detector import Detector
+
+    base = Config(
+        num_classes=3, image_size=64,
+        model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                          fpn_channels=32, head_depth=1,
+                          compute_dtype="float32"),
+    )
+    flat = dataclasses.replace(base, losses=LossConfig(per_level=False))
+    lvl = dataclasses.replace(base, losses=LossConfig(per_level=True))
+
+    rng = np.random.default_rng(0)
+    n, m = 2, 4
+    batch = {
+        "images": rng.integers(0, 255, (n, 64, 64, 3)).astype(np.uint8),
+        "boxes": np.array([[[0.1, 0.1, 0.6, 0.5]] + [[0.0] * 4] * (m - 1),
+                           [[0.3, 0.2, 0.9, 0.8]] + [[0.0] * 4] * (m - 1)],
+                          np.float32),
+        "labels": np.zeros((n, m), np.int32),
+        "num_boxes": np.ones((n,), np.int32),
+    }
+    batch["labels"][0, 0] = 1
+    batch["labels"][1, 0] = 2
+
+    det_flat, det_lvl = Detector(flat), Detector(lvl)
+    variables = det_flat.init(jax.random.PRNGKey(0))
+
+    def total(det, v):
+        return det.loss(v, batch, train=False)[0]
+
+    l_flat, g_flat = jax.value_and_grad(lambda v: total(det_flat, v))(variables)
+    l_lvl, g_lvl = jax.value_and_grad(lambda v: total(det_lvl, v))(variables)
+    np.testing.assert_allclose(float(l_flat), float(l_lvl), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        g_flat, g_lvl,
+    )
+
+    # OHEM variant goes through the same per-anchor concat path
+    flat_o = dataclasses.replace(
+        base, losses=LossConfig(per_level=False, use_ohem=True))
+    lvl_o = dataclasses.replace(
+        base, losses=LossConfig(per_level=True, use_ohem=True))
+    lo = float(total(Detector(flat_o), variables))
+    ll = float(total(Detector(lvl_o), variables))
+    np.testing.assert_allclose(lo, ll, rtol=1e-5)
