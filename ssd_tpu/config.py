@@ -41,7 +41,7 @@ class AnchorConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    backbone: str = "mobilenet"  # mobilenet | shufflenet | resnet50
+    backbone: str = "mobilenet"  # mobilenet | mobilenet_v2 | shufflenet | resnet50
     width_multiplier: float = 1.0  # for mobilenet/shufflenet
     fpn_channels: int = 128
     head_depth: int = 4  # number of 3x3 convs in each subnet
@@ -151,7 +151,9 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class Config:
     num_classes: int = 80  # foreground classes (no background class; sigmoid heads)
-    image_size: int = 640  # square input resolution
+    # Input resolution: a square int (the reference's convention) or an
+    # explicit (height, width) pair for rectangular inputs.
+    image_size: int | Sequence[int] = 640
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
     losses: LossConfig = dataclasses.field(default_factory=LossConfig)
@@ -160,12 +162,25 @@ class Config:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
 
+    def __post_init__(self):
+        if not isinstance(self.image_size, int):
+            object.__setattr__(
+                self, "image_size",
+                tuple(int(s) for s in self.image_size))
+
+    def image_hw(self) -> tuple[int, int]:
+        """Input resolution as (height, width), square or not."""
+        if isinstance(self.image_size, int):
+            return (self.image_size, self.image_size)
+        h, w = self.image_size
+        return (h, w)
+
     def feature_map_sizes(self) -> tuple[tuple[int, int], ...]:
         """Spatial size of each FPN level for this image size (static)."""
+        ih, iw = self.image_hw()
         sizes = []
         for stride in self.anchors.strides:
-            s = -(-self.image_size // stride)  # ceil div
-            sizes.append((s, s))
+            sizes.append((-(-ih // stride), -(-iw // stride)))  # ceil div
         return tuple(sizes)
 
     def num_anchors(self) -> int:

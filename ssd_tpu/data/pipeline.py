@@ -143,7 +143,7 @@ class Pipeline:
 
     def _make_batch(self, example_ids: np.ndarray, epoch: int) -> dict:
         cfg = self.cfg
-        s = cfg.image_size
+        ih, iw = cfg.image_hw()
         m = cfg.data.max_gt_boxes
         # Eval pads short (tail) batches to the static batch size; ``valid``
         # marks the real rows. Training ids always fill the batch.
@@ -154,7 +154,7 @@ class Pipeline:
         decoded = [decode_detection_example(p) for p in payloads]
         jpegs = [d[0] for d in decoded]
 
-        images_out = np.zeros((b, s, s, 3), np.uint8)
+        images_out = np.zeros((b, ih, iw, 3), np.uint8)
         boxes_out = np.zeros((b, m, 4), np.float32)
         labels_out = np.zeros((b, m), np.int32)
         num_out = np.zeros((b,), np.int32)
@@ -175,7 +175,7 @@ class Pipeline:
                 img, boxes, labels = augment_example(
                     img, boxes, labels, rng, cfg.data
                 )
-                images_out[j] = native.resize(img, s, s)
+                images_out[j] = native.resize(img, ih, iw)
                 k = min(len(boxes), m)
                 if k:
                     boxes_out[j, :k] = np.clip(boxes[:k], 0.0, 1.0)
@@ -192,7 +192,7 @@ class Pipeline:
         else:
             if jpegs:
                 images_out[:n_real] = native.decode_jpeg_batch(
-                    jpegs, s, s, n_threads=cfg.data.num_workers
+                    jpegs, ih, iw, n_threads=cfg.data.num_workers
                 )
             for j, (_, boxes, labels) in enumerate(decoded):
                 k = min(len(boxes), m)
@@ -239,13 +239,18 @@ class Pipeline:
         stop = threading.Event()
 
         def producer():
+            # An error in the prefetch thread must surface in the consumer
+            # (a silently-dead producer looks like a clean end-of-data —
+            # eval would report nan mAP over zero batches instead of the
+            # real traceback).
             try:
                 for batch in self._generate():
                     if stop.is_set():
                         return
                     q.put(batch)
-            finally:
                 q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -254,6 +259,8 @@ class Pipeline:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 self.consumed += 1
                 yield batch
         finally:

@@ -59,12 +59,13 @@ def export_stablehlo(path: str, cfg: Config, variables: dict,
                 "labels": out.labels, "num_boxes": out.num_boxes}
 
     spec = jax.ShapeDtypeStruct(
-        (batch_size, cfg.image_size, cfg.image_size, 3), jnp.uint8
+        (batch_size,) + cfg.image_hw() + (3,), jnp.uint8
     )
     exported = jexport.export(jax.jit(predict))(spec)
     os.makedirs(path, exist_ok=True)
     out_file = os.path.join(
-        path, f"predict_b{batch_size}_{cfg.image_size}.stablehlo"
+        path,
+        "predict_b{}_{}x{}.stablehlo".format(batch_size, *cfg.image_hw())
     )
     with open(out_file, "wb") as f:
         f.write(exported.serialize())

@@ -61,6 +61,11 @@ def build_backbone(cfg: Config) -> nn.Module:
         return MobileNetV1(m.width_multiplier, m.compute_dtype,
                            m.bn_momentum, m.norm, stem_stride,
                            name="backbone")
+    if m.backbone == "mobilenet_v2":
+        from ssd_tpu.models.mobilenet_v2 import MobileNetV2
+        return MobileNetV2(m.width_multiplier, m.compute_dtype,
+                           m.bn_momentum, m.norm, stem_stride,
+                           name="backbone")
     if m.backbone == "shufflenet":
         return ShuffleNetV2(m.width_multiplier, m.compute_dtype,
                             m.bn_momentum, m.norm, stem_stride,
@@ -124,9 +129,8 @@ class Detector:
     # ------------------------------------------------------------------ init
 
     def init(self, rng: jax.Array) -> dict:
-        images = jnp.zeros(
-            (1, self.cfg.image_size, self.cfg.image_size, 3), jnp.bfloat16
-        )
+        ih, iw = self.cfg.image_hw()
+        images = jnp.zeros((1, ih, iw, 3), jnp.bfloat16)
         return self.model.init(rng, images, train=False)
 
     # ------------------------------------------------------------- forward

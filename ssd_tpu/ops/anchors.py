@@ -19,7 +19,15 @@ import numpy as np
 from ssd_tpu.config import AnchorConfig
 
 
-def _level_anchors(feat_h: int, feat_w: int, stride: int, image_size: int,
+def _hw(image_size) -> tuple[int, int]:
+    if isinstance(image_size, (int, np.integer)):
+        return (int(image_size), int(image_size))
+    h, w = image_size
+    return (int(h), int(w))
+
+
+def _level_anchors(feat_h: int, feat_w: int, stride: int,
+                   image_hw: tuple[int, int],
                    cfg: AnchorConfig) -> np.ndarray:
     """Anchors for one pyramid level: ``(feat_h * feat_w * K, 4)`` normalized."""
     scales = [2 ** (k / cfg.scales_per_octave) for k in range(cfg.scales_per_octave)]
@@ -44,29 +52,34 @@ def _level_anchors(feat_h: int, feat_w: int, stride: int, image_size: int,
     mins = centers - half  # (H, W, K, 2) -> (ymin, xmin)
     maxs = centers + half  # (H, W, K, 2) -> (ymax, xmax)
     boxes = np.concatenate([mins, maxs], axis=-1).reshape(-1, 4)
-    return boxes / float(image_size)  # normalize
+    ih, iw = image_hw
+    # normalize per axis (y by height, x by width)
+    return boxes / np.asarray([ih, iw, ih, iw], np.float32)
 
 
-def generate_anchors(image_size: int, cfg: AnchorConfig) -> np.ndarray:
+def generate_anchors(image_size, cfg: AnchorConfig) -> np.ndarray:
     """All anchors for all FPN levels, concatenated: ``(A, 4)`` float32.
 
-    Coordinates are normalized ``(ymin, xmin, ymax, xmax)``; anchors at image
-    borders deliberately extend outside ``[0, 1]`` (RetinaNet convention —
-    they are not clipped, matching predictions are clipped after decode).
+    ``image_size`` is a square int or a (height, width) pair. Coordinates
+    are normalized ``(ymin, xmin, ymax, xmax)``; anchors at image borders
+    deliberately extend outside ``[0, 1]`` (RetinaNet convention — they
+    are not clipped, matching predictions are clipped after decode).
     """
+    ih, iw = _hw(image_size)
     out = []
     for level in range(cfg.min_level, cfg.max_level + 1):
         stride = 2 ** level
-        feat = -(-image_size // stride)  # ceil
-        out.append(_level_anchors(feat, feat, stride, image_size, cfg))
+        fh, fw = -(-ih // stride), -(-iw // stride)  # ceil
+        out.append(_level_anchors(fh, fw, stride, (ih, iw), cfg))
     return np.concatenate(out, axis=0)
 
 
-def anchor_counts_per_level(image_size: int, cfg: AnchorConfig) -> tuple[int, ...]:
+def anchor_counts_per_level(image_size, cfg: AnchorConfig) -> tuple[int, ...]:
     """Number of anchors contributed by each level (for reshape bookkeeping)."""
+    ih, iw = _hw(image_size)
     counts = []
     for level in range(cfg.min_level, cfg.max_level + 1):
         stride = 2 ** level
-        feat = -(-image_size // stride)
-        counts.append(feat * feat * cfg.num_anchors_per_cell)
+        fh, fw = -(-ih // stride), -(-iw // stride)
+        counts.append(fh * fw * cfg.num_anchors_per_cell)
     return tuple(counts)

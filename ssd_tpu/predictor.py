@@ -26,22 +26,32 @@ from ssd_tpu.data import native
 from ssd_tpu.models.detector import Detector
 
 
-def resize_image(image: np.ndarray, size: int) -> np.ndarray:
+def _as_hw(size) -> tuple[int, int]:
+    return (size, size) if isinstance(size, int) else tuple(size)
+
+
+def resize_image(image: np.ndarray, size_hw) -> np.ndarray:
     """Bilinear uint8 resize on host, matching the train/eval decode path
     (native C++ kernel, PIL fallback) — a nearest-neighbor serve-time resize
-    would be a parity gap vs the bilinear the model was trained on."""
-    return native.resize(np.ascontiguousarray(image), size, size)
+    would be a parity gap vs the bilinear the model was trained on.
+    ``size_hw``: square int or (height, width)."""
+    th, tw = _as_hw(size_hw)
+    return native.resize(np.ascontiguousarray(image), th, tw)
 
 
-def letterbox_image(image: np.ndarray, size: int) -> tuple[np.ndarray, float, float]:
-    """Aspect-preserving bilinear resize onto a square canvas (zero padding
-    at the bottom/right). Returns (canvas, valid_h_frac, valid_w_frac)."""
+def letterbox_image(image: np.ndarray,
+                    size_hw: tuple[int, int]) -> tuple[np.ndarray, float, float]:
+    """Aspect-preserving bilinear resize onto a (possibly rectangular)
+    canvas (zero padding at the bottom/right). Returns
+    (canvas, valid_h_frac, valid_w_frac)."""
     h, w = image.shape[:2]
-    scale = size / max(h, w)
+    th, tw = _as_hw(size_hw)
+    scale = min(th / h, tw / w)
     nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
-    canvas = np.zeros((size, size, 3), np.uint8)
+    nh, nw = min(nh, th), min(nw, tw)
+    canvas = np.zeros((th, tw, 3), np.uint8)
     canvas[:nh, :nw] = native.resize(np.ascontiguousarray(image), nh, nw)
-    return canvas, nh / size, nw / size
+    return canvas, nh / th, nw / tw
 
 
 class Predictor:
@@ -99,18 +109,18 @@ class Predictor:
         single = images.ndim == 3
         if single:
             images = images[None]
-        s = self.cfg.image_size
+        hw = self.cfg.image_hw()
         valid_frac = None
         if self.preserve_aspect:
             canvases, fracs = [], []
             for im in images:
-                canvas, fh, fw = letterbox_image(im, s)
+                canvas, fh, fw = letterbox_image(im, hw)
                 canvases.append(canvas)
                 fracs.append((fh, fw))
             images = np.stack(canvases)
             valid_frac = np.asarray(fracs, np.float32)  # (N, 2)
-        elif images.shape[1] != s or images.shape[2] != s:
-            images = np.stack([resize_image(im, s) for im in images])
+        elif images.shape[1:3] != hw:
+            images = np.stack([resize_image(im, hw) for im in images])
         images = images.astype(np.uint8)
 
         n = images.shape[0]
@@ -147,8 +157,7 @@ class Predictor:
     def warmup(self, batch_size: int = 1) -> None:
         """Pre-compile for a batch size's bucket (avoids first-call latency)."""
         bucket = 1 << (batch_size - 1).bit_length()
-        s = self.cfg.image_size
-        dummy = jnp.zeros((bucket, s, s, 3), jnp.uint8)
+        dummy = jnp.zeros((bucket,) + self.cfg.image_hw() + (3,), jnp.uint8)
         jax.block_until_ready(
             self._fn_for_batch(bucket)(self.variables, dummy)
         )

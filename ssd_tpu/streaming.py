@@ -46,8 +46,8 @@ class StreamingDetector:
         self._lat = collections.deque(maxlen=256)
 
     def warmup(self) -> None:
-        s = self.cfg.image_size
-        out = self._predict(self.variables, jnp.zeros((s, s, 3), jnp.uint8))
+        ih, iw = self.cfg.image_hw()
+        out = self._predict(self.variables, jnp.zeros((ih, iw, 3), jnp.uint8))
         jax.block_until_ready(out)
 
     def _fetch_one(self) -> dict:
@@ -63,10 +63,10 @@ class StreamingDetector:
 
     def push(self, frame: np.ndarray):
         """Submit one uint8 frame; yields any completed detections."""
-        s = self.cfg.image_size
-        if frame.shape[:2] != (s, s):
+        ih, iw = self.cfg.image_hw()
+        if frame.shape[:2] != (ih, iw):
             from ssd_tpu.data import native
-            frame = native.resize(np.ascontiguousarray(frame), s, s)
+            frame = native.resize(np.ascontiguousarray(frame), ih, iw)
         out = self._predict(self.variables, jnp.asarray(frame))
         self._inflight.append((time.perf_counter(), out))
         while len(self._inflight) > self.depth:

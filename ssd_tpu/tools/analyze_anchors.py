@@ -59,7 +59,7 @@ def analyze(config_path: str, data_pattern: str, limit: int | None) -> dict:
         "uncovered_frac": float((best < 0.1).mean()) if len(best) else 0.0,
         "p10_best_iou": float(np.percentile(best, 10)) if len(best) else 0.0,
         "tiny_boxes_frac": float(
-            (np.sqrt(np.asarray(areas)) * cfg.image_size < 8).mean()
+            (np.sqrt(np.asarray(areas) * np.prod(cfg.image_hw())) < 8).mean()
         ) if areas else 0.0,
     }
 

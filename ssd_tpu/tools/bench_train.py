@@ -35,9 +35,9 @@ from ssd_tpu.parallel import train_step as ts
 def synthetic_batch(cfg: Config, batch: int, seed: int = 0) -> dict:
     """Random uint8 images + plausible boxes/labels, padded to max_gt."""
     rng = np.random.RandomState(seed)
-    s = cfg.image_size
+    ih, iw = cfg.image_hw()
     m = cfg.data.max_gt_boxes
-    images = rng.randint(0, 256, (batch, s, s, 3), np.uint8)
+    images = rng.randint(0, 256, (batch, ih, iw, 3), np.uint8)
     num = rng.randint(1, min(m, 12) + 1, (batch,)).astype(np.int32)
     ymin = rng.uniform(0.0, 0.6, (batch, m))
     xmin = rng.uniform(0.0, 0.6, (batch, m))

@@ -241,3 +241,17 @@ def test_eval_batching_invariance_of_map(tmp_path, rng):
 
     a, b = run(16), run(1)
     assert a["mAP"] == b["mAP"] and a["AP50"] == b["AP50"]
+
+
+def test_prefetch_thread_errors_propagate(tmp_path):
+    """A crash in the prefetch thread must raise in the consumer, not
+    silently end the stream (which made eval report nan mAP over zero
+    batches instead of the real traceback)."""
+    rng = np.random.default_rng(0)
+    path = write_dataset(str(tmp_path / "x.tfrecords"), rng, 4)
+    cfg = _small_cfg()
+    p = Pipeline(path, cfg, is_training=False, batch_size=2)
+    p._make_batch = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("decode exploded"))
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(iter(p))

@@ -40,7 +40,8 @@ def test_class_prior_bias_init():
 
 
 @pytest.mark.parametrize("backbone,mult", [
-    ("mobilenet", 0.25), ("shufflenet", 0.5), ("resnet50", 1.0),
+    ("mobilenet", 0.25), ("mobilenet_v2", 0.25), ("shufflenet", 0.5),
+    ("resnet50", 1.0),
 ])
 def test_all_backbones_forward(backbone, mult):
     cfg = Config(
