@@ -130,6 +130,10 @@ class TrainConfig:
     log_every: int = 100
     eval_every: int = 5000
     seed: int = 0
+    # Exponential moving average of weights: 0 = off; typical 0.999-0.9999.
+    # When on, periodic eval, best-mAP selection, and the exported artifact
+    # all use the EMA weights.
+    ema_decay: float = 0.0
     # Warm-start: path to an inference artifact (export dir) whose matching
     # parameter subtrees (typically the backbone) seed the new run.
     init_from: str = ""

@@ -113,11 +113,14 @@ def main() -> None:
     detector = Detector(cfg)
     tx = make_optimizer(cfg)
     ckpt = TrainCheckpointer(os.path.join(args.workdir, "checkpoints"))
-    state, _ = ckpt.restore(abstract_train_state(detector, tx), step=args.step)
+    state, _ = ckpt.restore(
+        abstract_train_state(detector, tx, cfg.train.ema_decay),
+        step=args.step)
     ckpt.close()
 
     out = args.output or os.path.join(args.workdir, "export")
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    from ssd_tpu.parallel.train_step import inference_variables
+    variables = inference_variables(state)
     save_inference_artifact(out, cfg, variables)
     print(f"wrote inference artifact (step {int(jax.device_get(state.step))}) "
           f"to {out}")

@@ -29,6 +29,10 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     rng: jnp.ndarray
+    # Exponential moving average of params (None unless train.ema_decay>0).
+    # Evaluation/export prefer these when present — standard detection-
+    # training practice the reference lacks.
+    ema_params: Any = None
 
 
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
@@ -67,7 +71,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(detector: Detector, rng: jax.Array,
-                       tx: optax.GradientTransformation) -> TrainState:
+                       tx: optax.GradientTransformation,
+                       ema_decay: float = 0.0) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
     variables = detector.init(init_rng)
     params = variables["params"]
@@ -78,11 +83,20 @@ def create_train_state(detector: Detector, rng: jax.Array,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         rng=state_rng,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params)
+        if ema_decay > 0 else None,
     )
 
 
+def inference_variables(state: TrainState) -> dict:
+    """The variables evaluation/export should serve: EMA when tracked."""
+    params = state.ema_params if state.ema_params is not None else state.params
+    return {"params": params, "batch_stats": state.batch_stats}
+
+
 def make_train_step(
-    detector: Detector, tx: optax.GradientTransformation
+    detector: Detector, tx: optax.GradientTransformation,
+    ema_decay: float = 0.0,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Returns ``(state, batch) -> (state, metrics)`` — pure, jit-ready."""
 
@@ -103,12 +117,21 @@ def make_train_step(
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
 
+        new_ema = state.ema_params
+        if new_ema is not None:
+            d = jnp.float32(ema_decay)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                new_ema, new_params,
+            )
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_model_state.get("batch_stats", state.batch_stats),
             opt_state=new_opt_state,
             rng=jax.random.fold_in(state.rng, 1),
+            ema_params=new_ema,
         )
         return new_state, metrics
 

@@ -134,7 +134,8 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     tx = make_optimizer(cfg)
     from ssd_tpu.parallel import make_lr_schedule
     lr_fn = make_lr_schedule(cfg)
-    step_fn = jit_train_step(make_train_step(detector, tx), mesh)
+    step_fn = jit_train_step(
+        make_train_step(detector, tx, cfg.train.ema_decay), mesh)
 
     ckpt = TrainCheckpointer(
         os.path.join(workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
@@ -150,14 +151,15 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     # ----- init or resume -------------------------------------------------
     latest = ckpt.latest_step() if resume else None
     if latest is not None:
-        abstract = abstract_train_state(detector, tx)
+        abstract = abstract_train_state(detector, tx, cfg.train.ema_decay)
         state, it_state = ckpt.restore(abstract)
         if it_state:
             pipeline.restore(it_state)
         print(f"resumed from step {latest}", flush=True)
     else:
         state = create_train_state(
-            detector, jax.random.PRNGKey(cfg.train.seed), tx
+            detector, jax.random.PRNGKey(cfg.train.seed), tx,
+            cfg.train.ema_decay,
         )
         if cfg.train.init_from:
             state = warm_start(state, cfg.train.init_from)
@@ -170,6 +172,10 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         preempted["flag"] = True
 
     signal.signal(signal.SIGTERM, _sigterm)
+
+    def _eval_view(s):
+        """Evaluate with EMA weights when tracked (what will be served)."""
+        return s.replace(params=s.ema_params) if s.ema_params is not None else s
 
     # ----- loop -----------------------------------------------------------
     num_steps = max_steps or cfg.train.num_steps
@@ -214,8 +220,8 @@ def train(cfg: Config, workdir: str, resume: bool = True,
                 break
             if cfg.train.eval_every and step % cfg.train.eval_every == 0:
                 try:
-                    result = evaluate(detector, state, cfg, host_id,
-                                      num_hosts, mesh=mesh)
+                    result = evaluate(detector, _eval_view(state), cfg,
+                                      host_id, num_hosts, mesh=mesh)
                     if host_id == 0:
                         logger.log(step, {}, extra={
                             "mAP": result["mAP"], "AP50": result["AP50"],
@@ -223,10 +229,11 @@ def train(cfg: Config, workdir: str, resume: bool = True,
                         if result["mAP"] > best_map:
                             best_map = result["mAP"]
                             from ssd_tpu.export import save_inference_artifact
+                            from ssd_tpu.parallel.train_step import (
+                                inference_variables)
                             save_inference_artifact(
                                 os.path.join(workdir, "best"), cfg,
-                                {"params": state.params,
-                                 "batch_stats": state.batch_stats},
+                                inference_variables(state),
                             )
                 except FileNotFoundError:
                     pass  # no val set configured
@@ -258,9 +265,10 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         if maps:
             with open(maps[0]) as f:
                 label_map = json.load(f)
+        from ssd_tpu.parallel.train_step import inference_variables
         save_inference_artifact(
             os.path.join(workdir, "export"), cfg,
-            {"params": state.params, "batch_stats": state.batch_stats},
+            inference_variables(state),
             label_map=label_map,
         )
     return {k: float(jax.device_get(v)) for k, v in metrics.items()}

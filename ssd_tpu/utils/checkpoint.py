@@ -65,9 +65,10 @@ class TrainCheckpointer:
         self.manager.close()
 
 
-def abstract_train_state(detector, tx) -> TrainState:
+def abstract_train_state(detector, tx, ema_decay: float = 0.0) -> TrainState:
     """Shape/dtype skeleton of TrainState for orbax restore."""
     from ssd_tpu.parallel.train_step import create_train_state
     return jax.eval_shape(
-        lambda: create_train_state(detector, jax.random.PRNGKey(0), tx)
+        lambda: create_train_state(detector, jax.random.PRNGKey(0), tx,
+                                   ema_decay)
     )

@@ -206,3 +206,48 @@ def test_channel_tp_matches_replicated(rng):
     for a, b in zip(jax.tree_util.tree_leaves(params_dp),
                     jax.tree_util.tree_leaves(params_tp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_ema_tracks_weighted_average(rng):
+    """EMA params follow e' = d*e + (1-d)*p exactly, start from the init
+    params, and are what inference_variables serves."""
+    import dataclasses
+
+    from ssd_tpu.parallel.train_step import inference_variables
+
+    cfg = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, ema_decay=0.5))
+    det = Detector(cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx,
+                               cfg.train.ema_decay)
+    assert state.ema_params is not None
+    p0 = jax.device_get(state.params)
+    e0 = jax.device_get(state.ema_params)
+    np.testing.assert_allclose(
+        jax.tree_util.tree_leaves(p0)[0], jax.tree_util.tree_leaves(e0)[0])
+
+    mesh = create_mesh()
+    step = jit_train_step(
+        make_train_step(det, tx, cfg.train.ema_decay), mesh)
+    batch = shard_batch(mesh, _tiny_batch(rng))
+    state, _ = step(state, batch)
+    p1 = jax.device_get(state.params)
+    e1 = jax.device_get(state.ema_params)
+    want = jax.tree_util.tree_map(lambda e, p: 0.5 * e + 0.5 * p, e0, p1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        e1, want)
+
+    iv = inference_variables(state)
+    np.testing.assert_allclose(
+        jax.tree_util.tree_leaves(iv["params"])[0],
+        jax.tree_util.tree_leaves(e1)[0])
+
+    # default (ema off): field is None and inference serves raw params
+    state_off = create_train_state(det, jax.random.PRNGKey(0), tx)
+    assert state_off.ema_params is None
+    iv_off = inference_variables(state_off)
+    np.testing.assert_allclose(
+        jax.tree_util.tree_leaves(iv_off["params"])[0],
+        jax.tree_util.tree_leaves(jax.device_get(state_off.params))[0])
