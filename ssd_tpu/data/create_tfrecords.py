@@ -40,6 +40,9 @@ def load_coco(path: str) -> list[dict]:
     load_coco.last_label_map = {  # exposed for the CLI to persist
         i: c.get("name", str(c["id"])) for i, c in enumerate(cats)
     }
+    load_coco.last_category_ids = {  # contiguous label -> COCO category_id
+        i: c["id"] for i, c in enumerate(cats)
+    }
     per_image: dict[int, dict] = {}
     for ann in data["annotations"]:
         if ann.get("iscrowd"):
@@ -53,14 +56,16 @@ def load_coco(path: str) -> list[dict]:
             continue
         entry = per_image.setdefault(
             ann["image_id"],
-            {"filename": im["file_name"], "boxes": [], "labels": []},
+            {"filename": im["file_name"], "boxes": [], "labels": [],
+             "source_id": ann["image_id"]},
         )
         entry["boxes"].append(box)
         entry["labels"].append(cat_map[ann["category_id"]])
     # include images with no annotations too (pure negatives)
     for iid, im in images.items():
         per_image.setdefault(
-            iid, {"filename": im["file_name"], "boxes": [], "labels": []}
+            iid, {"filename": im["file_name"], "boxes": [], "labels": [],
+                  "source_id": iid}
         )
     return [per_image[k] for k in sorted(per_image)]
 
@@ -85,7 +90,9 @@ def write_shards(entries: list[dict], image_dir: str, output_prefix: str,
             boxes = np.asarray(entry["boxes"], np.float32).reshape(-1, 4)
             labels = np.asarray(entry["labels"], np.int64)
             writers[n % num_shards].write(
-                encode_detection_example(jpeg, boxes, labels)
+                encode_detection_example(
+                    jpeg, boxes, labels,
+                    source_id=entry.get("source_id", n))
             )
             written += 1
     finally:
@@ -104,6 +111,12 @@ def main() -> None:
 
     entries = load_coco(args.annotations)
     n = write_shards(entries, args.images, args.output, args.num_shards)
+    cat_ids = getattr(load_coco, "last_category_ids", None)
+    if cat_ids:
+        ids_path = f"{args.output}-category_ids.json"
+        with open(ids_path, "w") as f:
+            json.dump(cat_ids, f, indent=2)
+        print(f"wrote category-id map to {ids_path}")
     label_map = getattr(load_coco, "last_label_map", None)
     if label_map:
         map_path = f"{args.output}-label_map.json"

@@ -35,7 +35,8 @@ import numpy as np
 from ssd_tpu.config import Config
 from ssd_tpu.data import native
 from ssd_tpu.data.augment import augment_example
-from ssd_tpu.data.tfrecord import decode_detection_example, record_offsets
+from ssd_tpu.data.tfrecord import (decode_detection_example,
+                                    decode_source_id, record_offsets)
 
 
 class ShardIndex:
@@ -211,6 +212,21 @@ class Pipeline:
             valid = np.zeros((b,), bool)
             valid[:n_real] = True
             batch["valid"] = valid
+            # identity passthrough for COCO-results interop: the original
+            # dataset image id (image/source_id, falling back to the local
+            # example index) and the pre-resize image dimensions
+            sids = np.full((b,), -1, np.int64)
+            ohw = np.zeros((b, 2), np.int32)
+            import io as _io
+
+            from PIL import Image as _Image
+            for j, payload in enumerate(payloads):
+                sid = decode_source_id(payload)
+                sids[j] = int(example_ids[j]) if sid is None else sid
+                with _Image.open(_io.BytesIO(jpegs[j])) as im:
+                    ohw[j] = (im.size[1], im.size[0])  # (h, w)
+            batch["source_ids"] = sids
+            batch["orig_hw"] = ohw
         return batch
 
     # --------------------------------------------------------- iterate

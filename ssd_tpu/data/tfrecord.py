@@ -250,17 +250,35 @@ def decode_example(payload: bytes) -> dict:
 # --------------------------------------------------------- detection io
 
 def encode_detection_example(jpeg_bytes: bytes, boxes: np.ndarray,
-                             labels: np.ndarray) -> bytes:
-    """boxes: (M, 4) normalized ymin/xmin/ymax/xmax; labels: (M,) ints."""
+                             labels: np.ndarray,
+                             source_id: int | None = None) -> bytes:
+    """boxes: (M, 4) normalized ymin/xmin/ymax/xmax; labels: (M,) ints.
+
+    ``source_id`` (optional) carries the dataset's original image id
+    (e.g. the COCO image_id) so eval can emit pycocotools-compatible
+    results JSON; older records without it still decode fine.
+    """
     boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
-    return encode_example({
+    feats = {
         "image/encoded": jpeg_bytes,
         "image/object/bbox/ymin": boxes[:, 0].tolist(),
         "image/object/bbox/xmin": boxes[:, 1].tolist(),
         "image/object/bbox/ymax": boxes[:, 2].tolist(),
         "image/object/bbox/xmax": boxes[:, 3].tolist(),
         "image/object/class/label": [int(v) for v in labels],
-    })
+    }
+    if source_id is not None:
+        feats["image/source_id"] = [int(source_id)]
+    return encode_example(feats)
+
+
+def decode_source_id(payload: bytes) -> int | None:
+    """The example's original image id, or None for records without one."""
+    d = decode_example(payload)
+    sid = d.get("image/source_id")
+    if sid is None or len(sid) == 0:
+        return None
+    return int(sid[0])
 
 
 def decode_detection_example(payload: bytes) -> tuple[bytes, np.ndarray, np.ndarray]:

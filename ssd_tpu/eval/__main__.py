@@ -24,12 +24,16 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--limit", type=int, default=None,
                    help="max batches (smoke runs)")
+    p.add_argument("--dump-coco", default=None, metavar="OUT.json",
+                   help="also write pycocotools-compatible results JSON "
+                        "(uses image/source_id from the tfrecords and a "
+                        "<pattern>-category_ids.json map when present)")
     args = p.parse_args()
 
     import jax
 
     from ssd_tpu.data.pipeline import Pipeline
-    from ssd_tpu.eval.coco_map import DetectionEvaluator
+    from ssd_tpu.eval.coco_map import DetectionEvaluator, detections_to_coco
     from ssd_tpu.export import load_inference_artifact
     from ssd_tpu.models.detector import Detector
 
@@ -53,6 +57,18 @@ def main() -> None:
     pipeline = Pipeline(cfg.data.val_file_pattern, cfg, is_training=False,
                         batch_size=args.batch_size)
     images_seen = 0
+    coco_results = [] if args.dump_coco else None
+    category_ids = None
+    if args.dump_coco:
+        import glob as globlib
+        import json
+        import os
+        pat_dir = os.path.dirname(cfg.data.val_file_pattern) or "."
+        hits = globlib.glob(os.path.join(pat_dir, "*category_ids.json"))
+        if hits:
+            with open(hits[0]) as f:
+                category_ids = {int(k): int(v)
+                                for k, v in json.load(f).items()}
     for i, batch in enumerate(pipeline):
         if args.limit is not None and i >= args.limit:
             break
@@ -67,6 +83,21 @@ def main() -> None:
         valid = batch.get("valid")
         images_seen += int(valid.sum()) if valid is not None \
             else len(batch["images"])
+        if coco_results is not None:
+            coco_results.extend(detections_to_coco(
+                {"boxes": np.asarray(out.boxes),
+                 "scores": np.asarray(out.scores),
+                 "labels": np.asarray(out.labels),
+                 "num_boxes": np.asarray(out.num_boxes)},
+                batch["source_ids"], batch["orig_hw"], valid=valid,
+                category_ids=category_ids))
+
+    if coco_results is not None:
+        import json
+        with open(args.dump_coco, "w") as f:
+            json.dump(coco_results, f)
+        print(f"wrote {len(coco_results)} COCO-format detections "
+              f"to {args.dump_coco}")
 
     result = evaluator.result()
     print(f"\nevaluated {images_seen} images")

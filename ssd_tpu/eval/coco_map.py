@@ -270,3 +270,36 @@ class DetectionEvaluator:
                 "AP50": float(np.nanmean(ap[:, idx50])),
                 "per_class_AP50": np.asarray(ap[:, idx50]),
             }
+
+
+def detections_to_coco(det: dict, source_ids, orig_hw, valid=None,
+                       category_ids: dict | None = None) -> list[dict]:
+    """One batch of detections -> pycocotools results-format entries.
+
+    ``det``: {boxes (B, D, 4) normalized ymin/xmin/ymax/xmax, scores,
+    labels, num_boxes}; ``source_ids (B,)`` original dataset image ids;
+    ``orig_hw (B, 2)`` pre-resize image dims (the square-stretch resize
+    keeps normalized coords aligned with the original frame);
+    ``category_ids`` maps contiguous labels back to dataset category ids
+    (identity when None). Output bbox format is COCO [x, y, w, h] in
+    absolute original-image pixels.
+    """
+    out = []
+    b = len(source_ids)
+    for i in range(b):
+        if valid is not None and not bool(valid[i]):
+            continue
+        h, w = int(orig_hw[i][0]), int(orig_hw[i][1])
+        n = int(det["num_boxes"][i])
+        for d in range(n):
+            y0, x0, y1, x1 = [float(v) for v in det["boxes"][i][d]]
+            lab = int(det["labels"][i][d])
+            out.append({
+                "image_id": int(source_ids[i]),
+                "category_id": int(category_ids.get(lab, lab))
+                if category_ids else lab,
+                "bbox": [round(x0 * w, 2), round(y0 * h, 2),
+                         round((x1 - x0) * w, 2), round((y1 - y0) * h, 2)],
+                "score": round(float(det["scores"][i][d]), 5),
+            })
+    return out

@@ -198,3 +198,57 @@ def test_evaluator_coco_scale_timing():
     ev.result()
     elapsed = time.time() - t0
     assert elapsed < 60.0, f"COCO-scale eval took {elapsed:.1f}s"
+
+
+def test_detections_to_coco_format():
+    from ssd_tpu.eval.coco_map import detections_to_coco
+
+    det = {
+        "boxes": np.asarray([[[0.1, 0.2, 0.5, 0.6], [0, 0, 0, 0]],
+                             [[0.0, 0.0, 1.0, 1.0], [0, 0, 0, 0]]],
+                            np.float32),
+        "scores": np.asarray([[0.9, 0.0], [0.7, 0.0]], np.float32),
+        "labels": np.asarray([[2, 0], [0, 0]], np.int32),
+        "num_boxes": np.asarray([1, 1], np.int32),
+    }
+    res = detections_to_coco(
+        det, source_ids=np.asarray([42, 7]),
+        orig_hw=np.asarray([[100, 200], [50, 50]]),
+        valid=np.asarray([True, False]),       # second row padded out
+        category_ids={2: 17},
+    )
+    assert len(res) == 1
+    r = res[0]
+    assert r["image_id"] == 42 and r["category_id"] == 17
+    # normalized (0.1,0.2,0.5,0.6) on a 100x200 image -> xywh abs
+    np.testing.assert_allclose(r["bbox"], [40.0, 10.0, 80.0, 40.0])
+    assert abs(r["score"] - 0.9) < 1e-6
+
+
+def test_pipeline_eval_carries_source_ids(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from ssd_tpu.config import Config, DataConfig, ModelConfig
+    from ssd_tpu.data.pipeline import Pipeline
+    from ssd_tpu.data.tfrecord import RecordWriter, encode_detection_example
+
+    path = str(tmp_path / "v.tfrecords")
+    rng = np.random.default_rng(0)
+    with RecordWriter(path) as w:
+        for sid, (h, ww) in zip((101, 202, 303), ((40, 60), (60, 40), (32, 32))):
+            img = rng.integers(0, 255, (h, ww, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG")
+            w.write(encode_detection_example(
+                buf.getvalue(), np.asarray([[0.1, 0.1, 0.6, 0.6]], np.float32),
+                np.asarray([0]), source_id=sid))
+    cfg = Config(num_classes=2, image_size=64,
+                 model=ModelConfig(width_multiplier=0.25, fpn_channels=32,
+                                   head_depth=1, compute_dtype="float32"),
+                 data=DataConfig(max_gt_boxes=4))
+    batch = next(iter(Pipeline(path, cfg, is_training=False, batch_size=4)))
+    assert list(batch["source_ids"][:3]) == [101, 202, 303]
+    assert batch["orig_hw"][:3].tolist() == [[40, 60], [60, 40], [32, 32]]
+    assert list(batch["valid"]) == [True, True, True, False]
