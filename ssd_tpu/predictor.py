@@ -64,13 +64,27 @@ class Predictor:
 
     def __init__(self, cfg: Config, variables: dict,
                  label_map: dict[int, str] | None = None,
-                 preserve_aspect: bool = False):
+                 preserve_aspect: bool = False,
+                 mesh=None):
+        """``mesh``: an optional ``jax.sharding.Mesh`` (or True to build
+        one over all visible devices) for DATA-PARALLEL serving: batches
+        shard over the ``data`` axis, params replicate, and XLA runs one
+        SPMD predict across the slice — the multi-chip serving analog of
+        the DP train step."""
         self.cfg = cfg
         self.detector = Detector(cfg)
         self.variables = variables
         self.label_map = label_map
         self.preserve_aspect = preserve_aspect
         self._jitted = {}
+        if mesh is True:
+            from ssd_tpu.parallel import create_mesh
+            mesh = create_mesh()
+        self.mesh = mesh
+        if mesh is not None:
+            from ssd_tpu.parallel.mesh import batch_sharding, replicated
+            self._batch_sharding = batch_sharding(mesh)
+            self.variables = jax.device_put(variables, replicated(mesh))
 
     # -------------------------------------------------------------- factory
 
@@ -92,8 +106,25 @@ class Predictor:
 
     def _fn_for_batch(self, n: int):
         if n not in self._jitted:
-            self._jitted[n] = jax.jit(self.detector.predict)
+            if self.mesh is None:
+                self._jitted[n] = jax.jit(self.detector.predict)
+            else:
+                from ssd_tpu.parallel.mesh import replicated
+                fn = jax.jit(
+                    self.detector.predict,
+                    in_shardings=(replicated(self.mesh),
+                                  self._batch_sharding),
+                    out_shardings=replicated(self.mesh),
+                )
+                self._jitted[n] = fn
         return self._jitted[n]
+
+    def _min_bucket(self) -> int:
+        """Buckets must be divisible by the data-axis size when sharded."""
+        if self.mesh is None:
+            return 1
+        from ssd_tpu.parallel.mesh import DATA_AXIS
+        return int(self.mesh.shape[DATA_AXIS])
 
     def __call__(self, images) -> dict:
         return self.predict(images)
@@ -125,6 +156,7 @@ class Predictor:
 
         n = images.shape[0]
         bucket = 1 << (n - 1).bit_length()  # next power of two
+        bucket = max(bucket, self._min_bucket())
         if bucket != n:
             images = np.concatenate(
                 [images, np.zeros((bucket - n,) + images.shape[1:], np.uint8)]

@@ -100,3 +100,27 @@ def test_preserve_aspect_box_remap():
     assert out["boxes"].shape == (CFG.nms.max_boxes, 4)
     b = out["boxes"]
     assert np.all(b >= 0) and np.all(b <= 1)
+
+
+def test_data_parallel_serving_matches_single_device(rng):
+    """A mesh-sharded Predictor returns the same detections as the plain
+    one — DP serving is a sharding annotation, not a different program."""
+    import jax
+
+    from ssd_tpu.parallel import create_mesh
+
+    det = Detector(CFG)
+    variables = det.init(jax.random.PRNGKey(3))
+    imgs = rng.integers(0, 255, (8, 64, 64, 3)).astype(np.uint8)
+
+    plain = Predictor(CFG, variables)
+    sharded = Predictor(CFG, variables, mesh=create_mesh())
+    a = plain.predict(imgs)
+    b = sharded.predict(imgs)
+    np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
+    np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-5)
+    np.testing.assert_array_equal(a["num_boxes"], b["num_boxes"])
+
+    # odd batch: bucket pads to a multiple of the data-axis size
+    single = sharded.predict(imgs[0])
+    np.testing.assert_allclose(single["scores"], a["scores"][0], atol=1e-5)
