@@ -163,3 +163,44 @@ def test_resume_is_exact(tmp_path):
     leaves2 = jax.tree_util.tree_leaves(s2.params)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sigterm_preemption_checkpoints_and_exits(tmp_path, monkeypatch):
+    """SIGTERM mid-training (TPU-VM preemption) -> a forced checkpoint is
+    written and the loop exits cleanly (SURVEY.md §5 failure-detection
+    row); a fresh train() call resumes from that checkpoint. The signal
+    is raised from inside the loop (after step 5) so delivery is
+    deterministic and lands after train() installed its handler."""
+    import signal
+
+    from ssd_tpu.train import train
+    from ssd_tpu.utils.checkpoint import TrainCheckpointer
+    from ssd_tpu.utils.logging import MetricLogger
+
+    write_synth_dataset(tmp_path / "train.tfrecords", 32, seed=0)
+    write_synth_dataset(tmp_path / "val.tfrecords", 8, seed=1)
+    cfg = make_cfg(tmp_path)
+    workdir = str(tmp_path / "run")
+
+    orig = MetricLogger.tick_step
+    calls = {"n": 0}
+
+    def hooked(self):
+        calls["n"] += 1
+        if calls["n"] == 5:
+            signal.raise_signal(signal.SIGTERM)
+        return orig(self)
+
+    monkeypatch.setattr(MetricLogger, "tick_step", hooked)
+    train(cfg, workdir, max_steps=4000, resume=False)
+
+    ckpt = TrainCheckpointer(os.path.join(workdir, "checkpoints"))
+    step = ckpt.latest_step()
+    ckpt.close()
+    assert step is not None and 0 < step < 4000
+
+    # resume continues from the preemption checkpoint
+    monkeypatch.setattr(MetricLogger, "tick_step", orig)
+    metrics = train(cfg, workdir, max_steps=step + 2)
+    assert np.isfinite(metrics["loss"])
