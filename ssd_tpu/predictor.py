@@ -193,3 +193,69 @@ class Predictor:
         jax.block_until_ready(
             self._fn_for_batch(bucket)(self.variables, dummy)
         )
+
+
+def _main() -> None:
+    """Batch-predict CLI: images in, JSON detections out.
+
+    python -m ssd_tpu.predictor --export runs/r1/export \
+        --images a.jpg b.jpg [--out dets.json] [--batch-size 8] \
+        [--score-threshold 0.3] [--letterbox] [--mesh]
+    """
+    import argparse
+    import json
+    import sys
+
+    from PIL import Image
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("--export", required=True, help="inference artifact dir")
+    p.add_argument("--images", nargs="+", required=True)
+    p.add_argument("--out", default=None, help="JSON output (default stdout)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--score-threshold", type=float, default=0.3)
+    p.add_argument("--letterbox", action="store_true",
+                   help="preserve aspect ratio (zero-pad) instead of stretch")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard batches over all visible devices (DP serving)")
+    args = p.parse_args()
+
+    predictor = Predictor.from_checkpoint(args.export)
+    predictor.preserve_aspect = args.letterbox
+    if args.mesh:
+        predictor = Predictor(predictor.cfg, predictor.variables,
+                              predictor.label_map, args.letterbox, mesh=True)
+
+    results = []
+    for lo in range(0, len(args.images), args.batch_size):
+        chunk = args.images[lo:lo + args.batch_size]
+        # per-image predict: inputs may have different sizes
+        for path in chunk:
+            img = np.asarray(Image.open(path).convert("RGB"))
+            out = predictor.predict(img)
+            keep = [i for i in range(int(out["num_boxes"]))
+                    if float(out["scores"][i]) >= args.score_threshold]
+            entry = {
+                "image": path,
+                "detections": [{
+                    "box_yxyx": [round(float(v), 4) for v in out["boxes"][i]],
+                    "score": round(float(out["scores"][i]), 4),
+                    "label": int(out["labels"][i]),
+                    **({"name": str(out["names"][i])}
+                       if "names" in out else {}),
+                } for i in keep],
+            }
+            results.append(entry)
+
+    text = json.dumps(results, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {sum(len(r['detections']) for r in results)} detections "
+              f"for {len(results)} images to {args.out}")
+    else:
+        sys.stdout.write(text + "\n")
+
+
+if __name__ == "__main__":
+    _main()

@@ -124,3 +124,33 @@ def test_data_parallel_serving_matches_single_device(rng):
     # odd batch: bucket pads to a multiple of the data-axis size
     single = sharded.predict(imgs[0])
     np.testing.assert_allclose(single["scores"], a["scores"][0], atol=1e-5)
+
+
+def test_predict_cli(tmp_path, monkeypatch, capsys, rng):
+    """The batch-predict CLI writes valid JSON detections for real files."""
+    import json
+    import sys
+
+    from PIL import Image
+
+    from ssd_tpu.export import save_inference_artifact
+    from ssd_tpu.predictor import _main
+
+    det = Detector(CFG)
+    variables = det.init(jax.random.PRNGKey(0))
+    export = str(tmp_path / "export")
+    save_inference_artifact(export, CFG, variables)
+
+    img_path = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        rng.integers(0, 255, (80, 120, 3)).astype(np.uint8)).save(img_path)
+
+    out_path = str(tmp_path / "dets.json")
+    monkeypatch.setattr(sys, "argv", [
+        "predictor", "--export", export, "--images", img_path,
+        "--out", out_path, "--score-threshold", "0.0"])
+    _main()
+    data = json.load(open(out_path))
+    assert len(data) == 1 and data[0]["image"] == img_path
+    for d in data[0]["detections"]:
+        assert len(d["box_yxyx"]) == 4 and 0.0 <= d["score"] <= 1.0
