@@ -57,7 +57,7 @@ def load_coco(path: str) -> list[dict]:
         entry = per_image.setdefault(
             ann["image_id"],
             {"filename": im["file_name"], "boxes": [], "labels": [],
-             "source_id": ann["image_id"]},
+             "source_id": ann["image_id"], "height": h, "width": w},
         )
         entry["boxes"].append(box)
         entry["labels"].append(cat_map[ann["category_id"]])
@@ -65,7 +65,8 @@ def load_coco(path: str) -> list[dict]:
     for iid, im in images.items():
         per_image.setdefault(
             iid, {"filename": im["file_name"], "boxes": [], "labels": [],
-                  "source_id": iid}
+                  "source_id": iid, "height": im["height"],
+                  "width": im["width"]}
         )
     return [per_image[k] for k in sorted(per_image)]
 
@@ -89,10 +90,19 @@ def write_shards(entries: list[dict], image_dir: str, output_prefix: str,
                 continue
             boxes = np.asarray(entry["boxes"], np.float32).reshape(-1, 4)
             labels = np.asarray(entry["labels"], np.int64)
+            hw = (entry.get("height"), entry.get("width"))
+            if hw[0] is None or hw[1] is None:
+                # simple-format entries carry no dims: jpeg header read
+                import io
+
+                from PIL import Image
+                with Image.open(io.BytesIO(jpeg)) as im:
+                    hw = (im.size[1], im.size[0])
             writers[n % num_shards].write(
                 encode_detection_example(
                     jpeg, boxes, labels,
-                    source_id=entry.get("source_id", n))
+                    source_id=entry.get("source_id", n),
+                    image_hw=hw)
             )
             written += 1
     finally:

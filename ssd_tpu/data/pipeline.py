@@ -35,8 +35,7 @@ import numpy as np
 from ssd_tpu.config import Config
 from ssd_tpu.data import native
 from ssd_tpu.data.augment import augment_example
-from ssd_tpu.data.tfrecord import (decode_detection_example,
-                                    decode_source_id, record_offsets)
+from ssd_tpu.data.tfrecord import decode_detection_record, record_offsets
 
 
 class ShardIndex:
@@ -152,8 +151,8 @@ class Pipeline:
         b = n_real if self.is_training else self.batch_size
 
         payloads = [self.index.read(i) for i in example_ids]
-        decoded = [decode_detection_example(p) for p in payloads]
-        jpegs = [d[0] for d in decoded]
+        decoded = [decode_detection_record(p) for p in payloads]
+        jpegs = [d["jpeg"] for d in decoded]
 
         images_out = np.zeros((b, ih, iw, 3), np.uint8)
         boxes_out = np.zeros((b, m, 4), np.float32)
@@ -168,8 +167,9 @@ class Pipeline:
             import concurrent.futures
 
             def one(j):
-                jpeg, boxes, labels = decoded[j]
-                img = native.decode_jpeg(jpeg)
+                d = decoded[j]
+                boxes, labels = d["boxes"], d["labels"]
+                img = native.decode_jpeg(d["jpeg"])
                 rng = np.random.default_rng(
                     (self.seed, epoch, int(example_ids[j]))
                 )
@@ -195,7 +195,8 @@ class Pipeline:
                 images_out[:n_real] = native.decode_jpeg_batch(
                     jpegs, ih, iw, n_threads=cfg.data.num_workers
                 )
-            for j, (_, boxes, labels) in enumerate(decoded):
+            for j, d in enumerate(decoded):
+                boxes, labels = d["boxes"], d["labels"]
                 k = min(len(boxes), m)
                 if k:
                     boxes_out[j, :k] = np.clip(boxes[:k], 0.0, 1.0)
@@ -217,14 +218,18 @@ class Pipeline:
             # example index) and the pre-resize image dimensions
             sids = np.full((b,), -1, np.int64)
             ohw = np.zeros((b, 2), np.int32)
-            import io as _io
-
-            from PIL import Image as _Image
-            for j, payload in enumerate(payloads):
-                sid = decode_source_id(payload)
+            for j, d in enumerate(decoded):
+                sid = d["source_id"]
                 sids[j] = int(example_ids[j]) if sid is None else sid
-                with _Image.open(_io.BytesIO(jpegs[j])) as im:
-                    ohw[j] = (im.size[1], im.size[0])  # (h, w)
+                if d["height"] is not None and d["width"] is not None:
+                    ohw[j] = (d["height"], d["width"])
+                else:
+                    # older records don't carry dims: jpeg header read
+                    import io as _io
+
+                    from PIL import Image as _Image
+                    with _Image.open(_io.BytesIO(jpegs[j])) as im:
+                        ohw[j] = (im.size[1], im.size[0])  # (h, w)
             batch["source_ids"] = sids
             batch["orig_hw"] = ohw
         return batch

@@ -251,12 +251,14 @@ def decode_example(payload: bytes) -> dict:
 
 def encode_detection_example(jpeg_bytes: bytes, boxes: np.ndarray,
                              labels: np.ndarray,
-                             source_id: int | None = None) -> bytes:
+                             source_id: int | None = None,
+                             image_hw: tuple[int, int] | None = None) -> bytes:
     """boxes: (M, 4) normalized ymin/xmin/ymax/xmax; labels: (M,) ints.
 
     ``source_id`` (optional) carries the dataset's original image id
-    (e.g. the COCO image_id) so eval can emit pycocotools-compatible
-    results JSON; older records without it still decode fine.
+    (e.g. the COCO image_id) and ``image_hw`` the original pixel dims, so
+    eval can emit pycocotools-compatible results JSON without re-opening
+    the jpeg; older records without them still decode fine.
     """
     boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
     feats = {
@@ -269,21 +271,23 @@ def encode_detection_example(jpeg_bytes: bytes, boxes: np.ndarray,
     }
     if source_id is not None:
         feats["image/source_id"] = [int(source_id)]
+    if image_hw is not None:
+        feats["image/height"] = [int(image_hw[0])]
+        feats["image/width"] = [int(image_hw[1])]
     return encode_example(feats)
 
 
 def decode_source_id(payload: bytes) -> int | None:
     """The example's original image id, or None for records without one."""
-    d = decode_example(payload)
-    sid = d.get("image/source_id")
-    if sid is None or len(sid) == 0:
-        return None
-    return int(sid[0])
+    return decode_detection_record(payload)["source_id"]
 
 
-def decode_detection_example(payload: bytes) -> tuple[bytes, np.ndarray, np.ndarray]:
+def decode_detection_record(payload: bytes) -> dict:
+    """ONE parse of a detection Example -> everything the pipeline needs:
+    ``{jpeg, boxes (M,4) f32, labels (M,) i32, source_id int|None,
+    height int|None, width int|None}`` (None = written by an older
+    version that didn't carry that feature)."""
     d = decode_example(payload)
-    jpeg = d["image/encoded"]
     boxes = np.stack([
         np.asarray(d.get("image/object/bbox/" + k, np.zeros(0)), np.float32)
         for k in ("ymin", "xmin", "ymax", "xmax")
@@ -293,4 +297,21 @@ def decode_detection_example(payload: bytes) -> tuple[bytes, np.ndarray, np.ndar
     labels = np.asarray(
         d.get("image/object/class/label", np.zeros(0, np.int64)), np.int64
     )
-    return jpeg, boxes.astype(np.float32), labels.astype(np.int32)
+
+    def scalar(key):
+        v = d.get(key)
+        return int(v[0]) if v is not None and len(v) else None
+
+    return {
+        "jpeg": d["image/encoded"],
+        "boxes": boxes.astype(np.float32),
+        "labels": labels.astype(np.int32),
+        "source_id": scalar("image/source_id"),
+        "height": scalar("image/height"),
+        "width": scalar("image/width"),
+    }
+
+
+def decode_detection_example(payload: bytes) -> tuple[bytes, np.ndarray, np.ndarray]:
+    r = decode_detection_record(payload)
+    return r["jpeg"], r["boxes"], r["labels"]

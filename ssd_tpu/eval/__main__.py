@@ -63,8 +63,22 @@ def main() -> None:
         import glob as globlib
         import json
         import os
-        pat_dir = os.path.dirname(cfg.data.val_file_pattern) or "."
-        hits = globlib.glob(os.path.join(pat_dir, "*category_ids.json"))
+        # create_tfrecords writes ``<output-prefix>-category_ids.json``;
+        # derive that exact path from the val pattern's prefix rather than
+        # globbing the directory (which could pick up the train map or a
+        # stale file and silently remap labels to wrong COCO category ids).
+        pattern = cfg.data.val_file_pattern
+        prefix = pattern.split("*")[0].split("?")[0].rstrip("-")
+        exact = f"{prefix}-category_ids.json"
+        if os.path.exists(exact):
+            hits = [exact]
+        else:
+            pat_dir = os.path.dirname(pattern) or "."
+            hits = sorted(
+                globlib.glob(os.path.join(pat_dir, "*category_ids.json")))
+            if len(hits) > 1:
+                print(f"warning: no {exact}; multiple category-id maps "
+                      f"found, using {hits[0]} (candidates: {hits})")
         if hits:
             with open(hits[0]) as f:
                 category_ids = {int(k): int(v)

@@ -169,7 +169,7 @@ class Detector:
         )
         if per_level:
             ld = losses.detection_loss_levels(
-                raw, targets, batch["labels"], cfg.num_classes, cfg.losses
+                raw, targets, cfg.num_classes, cfg.losses
             )
         else:
             logits, deltas = raw

@@ -96,7 +96,6 @@ def detection_loss(
 def detection_loss_levels(
     raw_levels: list,            # [(cls (N,H,W,K*C), box (N,H,W,K*4)), ...]
     targets: Targets,            # cls_targets may be None (class_onehot=False)
-    gt_labels: jnp.ndarray,      # (N, M) int32
     num_classes: int,
     cfg: LossConfig,
 ) -> LossDict:

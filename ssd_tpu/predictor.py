@@ -126,37 +126,53 @@ class Predictor:
         from ssd_tpu.parallel.mesh import DATA_AXIS
         return int(self.mesh.shape[DATA_AXIS])
 
+    def _bucket_for(self, n: int) -> int:
+        """Compilation bucket for a batch of n: next power of two, rounded
+        up to a multiple of the data-axis size (a pow2 alone isn't divisible
+        by e.g. a 6-device axis)."""
+        bucket = 1 << (max(n, 1) - 1).bit_length()
+        m = self._min_bucket()
+        return -(-bucket // m) * m
+
     def __call__(self, images) -> dict:
         return self.predict(images)
 
     def predict(self, images) -> dict:
-        """images: uint8 array (H, W, 3) or (N, H, W, 3), any resolution.
+        """images: uint8 array (H, W, 3) or (N, H, W, 3) — or a LIST of
+        (H, W, 3) arrays with per-image resolutions (each is resized/
+        letterboxed to the model resolution, then the whole set runs as ONE
+        batched call).
 
         Arbitrary batch sizes are padded up to the next power of two so the
         number of distinct compilations stays logarithmic in serving batch
         variety (one compile per bucket, not per size).
         """
-        images = np.asarray(images)
-        single = images.ndim == 3
-        if single:
-            images = images[None]
+        if isinstance(images, (list, tuple)):
+            single = False
+            image_list = [np.asarray(im) for im in images]
+        else:
+            images = np.asarray(images)
+            single = images.ndim == 3
+            image_list = [images] if single else list(images)
         hw = self.cfg.image_hw()
         valid_frac = None
         if self.preserve_aspect:
             canvases, fracs = [], []
-            for im in images:
+            for im in image_list:
                 canvas, fh, fw = letterbox_image(im, hw)
                 canvases.append(canvas)
                 fracs.append((fh, fw))
             images = np.stack(canvases)
             valid_frac = np.asarray(fracs, np.float32)  # (N, 2)
-        elif images.shape[1:3] != hw:
-            images = np.stack([resize_image(im, hw) for im in images])
+        else:
+            images = np.stack([
+                im if im.shape[:2] == hw else resize_image(im, hw)
+                for im in image_list
+            ])
         images = images.astype(np.uint8)
 
         n = images.shape[0]
-        bucket = 1 << (n - 1).bit_length()  # next power of two
-        bucket = max(bucket, self._min_bucket())
+        bucket = self._bucket_for(n)
         if bucket != n:
             images = np.concatenate(
                 [images, np.zeros((bucket - n,) + images.shape[1:], np.uint8)]
@@ -188,7 +204,7 @@ class Predictor:
 
     def warmup(self, batch_size: int = 1) -> None:
         """Pre-compile for a batch size's bucket (avoids first-call latency)."""
-        bucket = 1 << (batch_size - 1).bit_length()
+        bucket = self._bucket_for(batch_size)
         dummy = jnp.zeros((bucket,) + self.cfg.image_hw() + (3,), jnp.uint8)
         jax.block_until_ready(
             self._fn_for_batch(bucket)(self.variables, dummy)
@@ -229,19 +245,23 @@ def _main() -> None:
     results = []
     for lo in range(0, len(args.images), args.batch_size):
         chunk = args.images[lo:lo + args.batch_size]
-        # per-image predict: inputs may have different sizes
-        for path in chunk:
-            img = np.asarray(Image.open(path).convert("RGB"))
-            out = predictor.predict(img)
-            keep = [i for i in range(int(out["num_boxes"]))
-                    if float(out["scores"][i]) >= args.score_threshold]
+        # ONE batched predict per chunk: each image is resized/letterboxed
+        # to the model resolution first, so mixed input sizes are fine —
+        # this is the pipelined path the framework is built around, not
+        # RPC-bound single-image latency.
+        imgs = [np.asarray(Image.open(p).convert("RGB")) for p in chunk]
+        out = predictor.predict(imgs)
+        for j, path in enumerate(chunk):
+            keep = [i for i in range(int(out["num_boxes"][j]))
+                    if float(out["scores"][j][i]) >= args.score_threshold]
             entry = {
                 "image": path,
                 "detections": [{
-                    "box_yxyx": [round(float(v), 4) for v in out["boxes"][i]],
-                    "score": round(float(out["scores"][i]), 4),
-                    "label": int(out["labels"][i]),
-                    **({"name": str(out["names"][i])}
+                    "box_yxyx": [round(float(v), 4)
+                                 for v in out["boxes"][j][i]],
+                    "score": round(float(out["scores"][j][i]), 4),
+                    "label": int(out["labels"][j][i]),
+                    **({"name": str(out["names"][j][i])}
                        if "names" in out else {}),
                 } for i in keep],
             }

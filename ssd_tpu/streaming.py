@@ -44,6 +44,7 @@ class StreamingDetector:
         )
         self._inflight: collections.deque = collections.deque()
         self._lat = collections.deque(maxlen=256)
+        self._done_t = collections.deque(maxlen=256)  # result-fetch times
 
     def warmup(self) -> None:
         ih, iw = self.cfg.image_hw()
@@ -53,7 +54,9 @@ class StreamingDetector:
     def _fetch_one(self) -> dict:
         t0, out = self._inflight.popleft()
         out = jax.device_get(out)
-        self._lat.append(time.perf_counter() - t0)
+        now = time.perf_counter()
+        self._lat.append(now - t0)
+        self._done_t.append(now)
         return {
             "boxes": np.asarray(out.boxes)[0],
             "scores": np.asarray(out.scores)[0],
@@ -80,8 +83,13 @@ class StreamingDetector:
         lat = sorted(self._lat)
         if not lat:
             return {}
-        return {
+        out = {
             "p50_latency_s": lat[len(lat) // 2],
             "p95_latency_s": lat[int(len(lat) * 0.95)],
-            "fps_estimate": 1.0 / max(np.mean(lat) / max(self.depth, 1), 1e-9),
         }
+        if len(self._done_t) >= 2:
+            # measured completion rate over the recent window (frames
+            # fetched per wall-second), not a latency/depth heuristic
+            span = self._done_t[-1] - self._done_t[0]
+            out["fps"] = (len(self._done_t) - 1) / max(span, 1e-9)
+        return out

@@ -113,6 +113,14 @@ def warm_start(state, artifact_path: str):
         state = state.replace(
             batch_stats=merge(state.batch_stats, donor["batch_stats"], "bn")
         )
+    if state.ema_params is not None:
+        # Re-seed the EMA from the warm-started params — it was initialized
+        # as a copy of the RANDOM init, and with a slow decay (0.999+) that
+        # pollution would dominate eval/export for thousands of steps.
+        state = state.replace(
+            ema_params=jax.tree_util.tree_map(
+                lambda p: p.copy(), state.params)
+        )
     return state
 
 

@@ -49,14 +49,46 @@ class TrainCheckpointer:
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self.manager.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state),
-                iterator=ocp.args.JsonRestore(),
-            ),
-        )
-        return restored["state"], restored.get("iterator")
+
+        def _restore(abstract):
+            restored = self.manager.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract),
+                    iterator=ocp.args.JsonRestore(),
+                ),
+            )
+            return restored["state"], restored.get("iterator")
+
+        try:
+            return _restore(abstract_state)
+        except Exception as first_err:  # tree-structure mismatch candidates
+            # ``train.ema_decay`` toggled between the run that wrote the
+            # checkpoint and this one: the TrainState skeleton gains/loses
+            # the ema_params subtree. Retry with the alternate skeleton and
+            # adapt, instead of surfacing orbax's opaque structure error.
+            if abstract_state.ema_params is None:
+                alt = abstract_state.replace(
+                    ema_params=jax.tree_util.tree_map(
+                        lambda x: x, abstract_state.params))
+                try:
+                    state, it = _restore(alt)
+                except Exception:
+                    raise first_err
+                print("checkpoint: dropping saved ema_params "
+                      "(train.ema_decay is now 0)", flush=True)
+                return state.replace(ema_params=None), it
+            alt = abstract_state.replace(ema_params=None)
+            try:
+                state, it = _restore(alt)
+            except Exception:
+                raise first_err
+            print("checkpoint: no saved ema_params (checkpoint written with "
+                  "train.ema_decay=0); re-seeding EMA from params", flush=True)
+            return state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda p: p.copy(), state.params)
+            ), it
 
     def wait(self) -> None:
         self.manager.wait_until_finished()

@@ -255,3 +255,25 @@ def test_prefetch_thread_errors_propagate(tmp_path):
         RuntimeError("decode exploded"))
     with pytest.raises(RuntimeError, match="decode exploded"):
         next(iter(p))
+
+
+def test_detection_record_carries_dims_and_source_id():
+    """image/height+width and image/source_id come back from the SINGLE
+    record parse; older records without them decode to None (ADVICE r2)."""
+    from ssd_tpu.data.tfrecord import (decode_detection_record,
+                                       encode_detection_example)
+
+    boxes = np.asarray([[0.1, 0.2, 0.6, 0.9]], np.float32)
+    labels = np.asarray([3], np.int64)
+    new = encode_detection_example(b"jpegbytes", boxes, labels,
+                                   source_id=42, image_hw=(480, 640))
+    r = decode_detection_record(new)
+    assert r["jpeg"] == b"jpegbytes"
+    assert r["source_id"] == 42
+    assert (r["height"], r["width"]) == (480, 640)
+    np.testing.assert_allclose(r["boxes"], boxes)
+
+    old = encode_detection_example(b"jpegbytes", boxes, labels)
+    r = decode_detection_record(old)
+    assert r["source_id"] is None
+    assert r["height"] is None and r["width"] is None

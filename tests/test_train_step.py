@@ -251,3 +251,70 @@ def test_ema_tracks_weighted_average(rng):
     np.testing.assert_allclose(
         jax.tree_util.tree_leaves(iv_off["params"])[0],
         jax.tree_util.tree_leaves(jax.device_get(state_off.params))[0])
+
+
+def test_warm_start_reseeds_ema(tmp_path):
+    """warm_start must reset ema_params to the warm-started params — an EMA
+    seeded from the random init would pollute eval/export for ~1/(1-d)
+    steps (ADVICE r2)."""
+    import dataclasses
+
+    from ssd_tpu.export import save_inference_artifact
+    from ssd_tpu.train import warm_start
+
+    cfg = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, ema_decay=0.999))
+    det = Detector(cfg)
+    tx = make_optimizer(cfg)
+
+    donor = create_train_state(det, jax.random.PRNGKey(7), tx)
+    art = str(tmp_path / "donor")
+    save_inference_artifact(
+        art, cfg, {"params": donor.params, "batch_stats": donor.batch_stats})
+
+    fresh = create_train_state(det, jax.random.PRNGKey(0), tx,
+                               cfg.train.ema_decay)
+    warmed = warm_start(fresh, art)
+
+    for w, e in zip(jax.tree_util.tree_leaves(jax.device_get(warmed.params)),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(warmed.ema_params))):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(e))
+
+
+def test_checkpoint_restore_tolerates_ema_toggle(tmp_path):
+    """A checkpoint written with one train.ema_decay setting restores under
+    the other: saved-with-EMA -> restored-without drops the subtree;
+    saved-without -> restored-with re-seeds EMA from params (ADVICE r2)."""
+    from ssd_tpu.utils.checkpoint import (TrainCheckpointer,
+                                          abstract_train_state)
+
+    det = Detector(TINY)
+    tx = make_optimizer(TINY)
+
+    # saved WITHOUT ema, restored WITH
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    c = TrainCheckpointer(str(tmp_path / "a"))
+    c.save(state, {"epoch": 0, "position": 0, "seed": 0}, force=True)
+    c.wait()
+    restored, it = c.restore(abstract_train_state(det, tx, ema_decay=0.999))
+    c.close()
+    assert restored.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]))
+    assert it["seed"] == 0
+
+    # saved WITH ema, restored WITHOUT
+    state2 = create_train_state(det, jax.random.PRNGKey(1), tx,
+                                ema_decay=0.999)
+    c2 = TrainCheckpointer(str(tmp_path / "b"))
+    c2.save(state2, {"epoch": 0, "position": 0, "seed": 0}, force=True)
+    c2.wait()
+    restored2, _ = c2.restore(abstract_train_state(det, tx))
+    c2.close()
+    assert restored2.ema_params is None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored2.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            jax.device_get(state2.params))[0]))
