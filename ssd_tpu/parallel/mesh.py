@@ -91,3 +91,22 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
             lambda x: jax.make_array_from_process_local_data(s, x), batch
         )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def local_rows(x) -> np.ndarray:
+    """This process's rows of a dim-0-sharded global array, in the order
+    the local batch was fed to :func:`shard_batch`.
+
+    Inverse of the device feed for OUTPUTS of a sharded computation: each
+    host reads only its addressable shards (sorted by global row offset)
+    so host-local postprocessing (e.g. the eval stat accumulation) pairs
+    detections with the host's own ground truth. Single-process this is
+    just ``np.asarray(x)``.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(
+        x.addressable_shards,
+        key=lambda sh: sh.index[0].start if sh.index[0].start else 0,
+    )
+    return np.concatenate([np.asarray(sh.data) for sh in shards], axis=0)

@@ -50,15 +50,38 @@ def evaluate(detector: Detector, state, cfg: Config, host_id: int,
 
     if mesh is not None:
         from ssd_tpu.parallel import batch_sharding, replicated
+        from ssd_tpu.parallel.mesh import local_rows, shard_batch
+        # Outputs stay batch-sharded: every host reads back exactly ITS
+        # rows (local_rows) — no all-gather of detections, and the pairing
+        # with host-local ground truth is positional and exact.
         predict = jax.jit(
             lambda variables, images: detector.predict(variables, images),
             in_shardings=(replicated(mesh), batch_sharding(mesh)),
-            out_shardings=replicated(mesh),
+            out_shardings=batch_sharding(mesh),
         )
+
+        def run(variables, images):
+            # multi-host: the local batch becomes this process's slice of
+            # the GLOBAL array (make_array_from_process_local_data via
+            # shard_batch) — a raw numpy feed would target non-addressable
+            # devices and fail with process_count > 1
+            images = shard_batch(mesh, {"images": images})["images"]
+            out = predict(variables, images)
+            return {"boxes": local_rows(out.boxes),
+                    "scores": local_rows(out.scores),
+                    "labels": local_rows(out.labels),
+                    "num_boxes": local_rows(out.num_boxes)}
     else:
         predict = jax.jit(
             lambda variables, images: detector.predict(variables, images)
         )
+
+        def run(variables, images):
+            out = predict(variables, images)
+            return {"boxes": np.asarray(out.boxes),
+                    "scores": np.asarray(out.scores),
+                    "labels": np.asarray(out.labels),
+                    "num_boxes": np.asarray(out.num_boxes)}
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     evaluator = DetectionEvaluator(cfg.num_classes)
     pipeline = Pipeline(
@@ -69,13 +92,12 @@ def evaluate(detector: Detector, state, cfg: Config, host_id: int,
     for i, batch in enumerate(pipeline):
         if max_batches is not None and i >= max_batches:
             break
-        out = predict(variables, batch["images"])
         evaluator.add_batch(
-            {"boxes": np.asarray(out.boxes), "scores": np.asarray(out.scores),
-             "labels": np.asarray(out.labels),
-             "num_boxes": np.asarray(out.num_boxes)},
+            run(variables, batch["images"]),
             batch["boxes"], batch["labels"], batch["num_boxes"],
             valid=batch.get("valid"),
+            gt_is_crowd=batch.get("is_crowd"),
+            orig_hw=batch.get("orig_hw"),
         )
     return evaluator.gather().result()
 
@@ -234,15 +256,19 @@ def train(cfg: Config, workdir: str, resume: bool = True,
                         logger.log(step, {}, extra={
                             "mAP": result["mAP"], "AP50": result["AP50"],
                         })
-                        if result["mAP"] > best_map:
-                            best_map = result["mAP"]
-                            from ssd_tpu.export import save_inference_artifact
-                            from ssd_tpu.parallel.train_step import (
-                                inference_variables)
-                            save_inference_artifact(
-                                os.path.join(workdir, "best"), cfg,
-                                inference_variables(state),
-                            )
+                    # orbax saves are COLLECTIVE: every process must enter
+                    # (orbax's primary host does the writing). The gathered
+                    # result is identical on all hosts, so the branch is
+                    # taken in lockstep.
+                    if result["mAP"] > best_map:
+                        best_map = result["mAP"]
+                        from ssd_tpu.export import save_inference_artifact
+                        from ssd_tpu.parallel.train_step import (
+                            inference_variables)
+                        save_inference_artifact(
+                            os.path.join(workdir, "best"), cfg,
+                            inference_variables(state),
+                        )
                 except FileNotFoundError:
                     pass  # no val set configured
     except Exception:
@@ -261,9 +287,11 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     ckpt.close()
     logger.close()
 
-    if host_id == 0 and not preempted["flag"]:
+    if not preempted["flag"]:
         # inference artifact alongside the training checkpoints — the
-        # reference's save.py step, folded into the driver (SURVEY.md §3.3)
+        # reference's save.py step, folded into the driver (SURVEY.md §3.3).
+        # All hosts call: the orbax save is a collective (primary host
+        # writes); the label-map lookup reads shared storage identically.
         from ssd_tpu.export import save_inference_artifact
         label_map = None
         import glob as globlib

@@ -1,0 +1,104 @@
+"""REAL multi-process distributed tests (SURVEY.md §5 distributed row).
+
+Spawns two actual JAX processes with ``jax.distributed.initialize`` over a
+localhost coordinator (CPU backend, Gloo collectives, 4 local devices each
+-> one global 8-device mesh) and runs train-with-periodic-eval. This
+executes — not simulates — the multi-host paths: per-process data sharding,
+``make_array_from_process_local_data`` device feed for eval batches,
+sharded-output readback via ``parallel.mesh.local_rows``, cross-process
+eval-stat allgather, and orbax multihost checkpointing.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_and_eval_agree(tmp_path):
+    import dataclasses
+
+    import jax
+
+    from test_e2e import make_cfg, write_synth_dataset
+
+    from ssd_tpu.export import save_inference_artifact
+    from ssd_tpu.models.detector import Detector
+    from ssd_tpu.parallel import create_mesh, create_train_state, make_optimizer
+    from ssd_tpu.train import evaluate, train
+
+    write_synth_dataset(tmp_path / "train.tfrecords", 32, seed=0)
+    write_synth_dataset(tmp_path / "val.tfrecords", 18, seed=1)  # odd tails
+
+    # driver pre-trains briefly so the eval score is NONTRIVIAL — an
+    # untrained model scores exactly 0.0, which would let a broken gather
+    # "agree" vacuously; workers evaluate this same artifact
+    cfg = make_cfg(tmp_path)
+    train(cfg, str(tmp_path / "pretrain_run"), resume=False, max_steps=150)
+    import shutil
+    shutil.copytree(tmp_path / "pretrain_run" / "export",
+                    tmp_path / "pretrained")
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=os.path.dirname(os.path.dirname(worker)) or ".",
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("EVAL_RESULT"):
+                _, pid, m, ap50 = line.split()
+                results[int(pid)] = (float(m), float(ap50))
+    assert set(results) == {0, 1}, f"missing eval lines:\n{outs}"
+
+    # both processes computed the identical GLOBAL mAP
+    np.testing.assert_allclose(results[0], results[1], rtol=0, atol=0)
+
+    # ... it is nontrivial, and it matches a single-process evaluation of
+    # the same artifact on the same val set (this pytest process runs the
+    # 8-device CPU mesh)
+    from ssd_tpu.export import load_inference_artifact
+
+    _, donor = load_inference_artifact(str(tmp_path / "pretrained"))
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=16))
+    det = Detector(cfg2)
+    state = create_train_state(det, jax.random.PRNGKey(0),
+                               make_optimizer(cfg2))
+    state = state.replace(params=donor["params"],
+                          batch_stats=donor["batch_stats"])
+    ref = evaluate(det, state, cfg2, 0, 1, mesh=create_mesh())
+    assert ref["AP50"] > 0.05, ref  # trained enough to be discriminative
+    np.testing.assert_allclose(results[0][0], ref["mAP"], atol=1e-6)
+    np.testing.assert_allclose(results[0][1], ref["AP50"], atol=1e-6)
