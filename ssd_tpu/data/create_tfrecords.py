@@ -45,8 +45,6 @@ def load_coco(path: str) -> list[dict]:
     }
     per_image: dict[int, dict] = {}
     for ann in data["annotations"]:
-        if ann.get("iscrowd"):
-            continue
         im = images[ann["image_id"]]
         h, w = im["height"], im["width"]
         x, y, bw, bh = ann["bbox"]
@@ -57,15 +55,20 @@ def load_coco(path: str) -> list[dict]:
         entry = per_image.setdefault(
             ann["image_id"],
             {"filename": im["file_name"], "boxes": [], "labels": [],
-             "source_id": ann["image_id"], "height": h, "width": w},
+             "is_crowd": [], "source_id": ann["image_id"],
+             "height": h, "width": w},
         )
         entry["boxes"].append(box)
         entry["labels"].append(cat_map[ann["category_id"]])
+        # crowd annotations are KEPT, flagged: the eval protocol treats
+        # them as ignore regions (pycocotools semantics); the training
+        # pipeline excludes them from target creation
+        entry["is_crowd"].append(1 if ann.get("iscrowd") else 0)
     # include images with no annotations too (pure negatives)
     for iid, im in images.items():
         per_image.setdefault(
             iid, {"filename": im["file_name"], "boxes": [], "labels": [],
-                  "source_id": iid, "height": im["height"],
+                  "is_crowd": [], "source_id": iid, "height": im["height"],
                   "width": im["width"]}
         )
     return [per_image[k] for k in sorted(per_image)]
@@ -102,7 +105,8 @@ def write_shards(entries: list[dict], image_dir: str, output_prefix: str,
                 encode_detection_example(
                     jpeg, boxes, labels,
                     source_id=entry.get("source_id", n),
-                    image_hw=hw)
+                    image_hw=hw,
+                    is_crowd=entry.get("is_crowd"))
             )
             written += 1
     finally:

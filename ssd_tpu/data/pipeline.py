@@ -169,6 +169,12 @@ class Pipeline:
             def one(j):
                 d = decoded[j]
                 boxes, labels = d["boxes"], d["labels"]
+                # crowd annotations never become training targets (the
+                # reference drops them at dataset creation; we keep them
+                # in the records for eval-time ignore regions)
+                keep = d["is_crowd"] == 0
+                if not keep.all():
+                    boxes, labels = boxes[keep], labels[keep]
                 img = native.decode_jpeg(d["jpeg"])
                 rng = np.random.default_rng(
                     (self.seed, epoch, int(example_ids[j]))
@@ -195,12 +201,14 @@ class Pipeline:
                 images_out[:n_real] = native.decode_jpeg_batch(
                     jpegs, ih, iw, n_threads=cfg.data.num_workers
                 )
+            crowd_out = np.zeros((b, m), bool)
             for j, d in enumerate(decoded):
                 boxes, labels = d["boxes"], d["labels"]
                 k = min(len(boxes), m)
                 if k:
                     boxes_out[j, :k] = np.clip(boxes[:k], 0.0, 1.0)
                     labels_out[j, :k] = labels[:k]
+                    crowd_out[j, :k] = d["is_crowd"][:k] != 0
                 num_out[j] = k
 
         batch = {
@@ -213,6 +221,8 @@ class Pipeline:
             valid = np.zeros((b,), bool)
             valid[:n_real] = True
             batch["valid"] = valid
+            # crowd flags ride along for the evaluator's ignore handling
+            batch["is_crowd"] = crowd_out
             # identity passthrough for COCO-results interop: the original
             # dataset image id (image/source_id, falling back to the local
             # example index) and the pre-resize image dimensions

@@ -252,13 +252,16 @@ def decode_example(payload: bytes) -> dict:
 def encode_detection_example(jpeg_bytes: bytes, boxes: np.ndarray,
                              labels: np.ndarray,
                              source_id: int | None = None,
-                             image_hw: tuple[int, int] | None = None) -> bytes:
+                             image_hw: tuple[int, int] | None = None,
+                             is_crowd=None) -> bytes:
     """boxes: (M, 4) normalized ymin/xmin/ymax/xmax; labels: (M,) ints.
 
     ``source_id`` (optional) carries the dataset's original image id
     (e.g. the COCO image_id) and ``image_hw`` the original pixel dims, so
     eval can emit pycocotools-compatible results JSON without re-opening
-    the jpeg; older records without them still decode fine.
+    the jpeg; ``is_crowd`` (M,) 0/1 marks COCO crowd annotations (eval
+    ignore regions — excluded from training targets). Older records
+    without these features still decode fine.
     """
     boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
     feats = {
@@ -274,6 +277,8 @@ def encode_detection_example(jpeg_bytes: bytes, boxes: np.ndarray,
     if image_hw is not None:
         feats["image/height"] = [int(image_hw[0])]
         feats["image/width"] = [int(image_hw[1])]
+    if is_crowd is not None:
+        feats["image/object/is_crowd"] = [int(v) for v in is_crowd]
     return encode_example(feats)
 
 
@@ -302,10 +307,14 @@ def decode_detection_record(payload: bytes) -> dict:
         v = d.get(key)
         return int(v[0]) if v is not None and len(v) else None
 
+    crowd = d.get("image/object/is_crowd")
+    if crowd is None or len(crowd) != len(labels):
+        crowd = np.zeros(len(labels), np.int64)
     return {
         "jpeg": d["image/encoded"],
         "boxes": boxes.astype(np.float32),
         "labels": labels.astype(np.int32),
+        "is_crowd": np.asarray(crowd, np.int32),
         "source_id": scalar("image/source_id"),
         "height": scalar("image/height"),
         "width": scalar("image/width"),

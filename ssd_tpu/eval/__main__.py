@@ -93,6 +93,8 @@ def main() -> None:
              "num_boxes": np.asarray(out.num_boxes)},
             batch["boxes"], batch["labels"], batch["num_boxes"],
             valid=batch.get("valid"),
+            gt_is_crowd=batch.get("is_crowd"),
+            orig_hw=batch.get("orig_hw"),
         )
         valid = batch.get("valid")
         images_seen += int(valid.sum()) if valid is not None \
@@ -115,8 +117,23 @@ def main() -> None:
 
     result = evaluator.result()
     print(f"\nevaluated {images_seen} images")
-    print(f"mAP@[.5:.95] = {result['mAP']:.4f}")
-    print(f"AP@0.5       = {result['AP50']:.4f}\n")
+    rows = [
+        ("AP @[.50:.95] | area=   all | maxDets=100", "mAP"),
+        ("AP @0.50      | area=   all | maxDets=100", "AP50"),
+        ("AP @0.75      | area=   all | maxDets=100", "AP75"),
+        ("AP @[.50:.95] | area= small | maxDets=100", "AP_small"),
+        ("AP @[.50:.95] | area=medium | maxDets=100", "AP_medium"),
+        ("AP @[.50:.95] | area= large | maxDets=100", "AP_large"),
+        ("AR @[.50:.95] | area=   all | maxDets=  1", "AR@1"),
+        ("AR @[.50:.95] | area=   all | maxDets= 10", "AR@10"),
+        ("AR @[.50:.95] | area=   all | maxDets=100", "AR@100"),
+        ("AR @[.50:.95] | area= small | maxDets=100", "AR_small"),
+        ("AR @[.50:.95] | area=medium | maxDets=100", "AR_medium"),
+        ("AR @[.50:.95] | area= large | maxDets=100", "AR_large"),
+    ]
+    for label, key in rows:
+        print(f"  {label} = {result[key]:.4f}")
+    print()
     per_class = result["per_class_AP50"]
     for c, ap in enumerate(per_class):
         if np.isnan(ap):

@@ -277,3 +277,49 @@ def test_detection_record_carries_dims_and_source_id():
     r = decode_detection_record(old)
     assert r["source_id"] is None
     assert r["height"] is None and r["width"] is None
+
+
+def test_pipeline_crowd_flags(tmp_path):
+    """Crowd boxes never reach training targets but ride into eval batches
+    as ignore flags (VERDICT r2 #6)."""
+    import io as _io
+    import sys
+
+    from PIL import Image as _Image
+
+    from ssd_tpu.data.pipeline import Pipeline
+    from ssd_tpu.data.tfrecord import RecordWriter, encode_detection_example
+
+    sys.path.insert(0, "tests")
+    from test_e2e import make_cfg
+
+    buf = _io.BytesIO()
+    _Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(buf, "JPEG")
+    jpeg = buf.getvalue()
+    boxes = np.array([[0.1, 0.1, 0.4, 0.4],
+                      [0.5, 0.5, 0.9, 0.9]], np.float32)
+    labels = np.array([0, 1], np.int64)
+    path = tmp_path / "train.tfrecords"
+    with RecordWriter(str(path)) as w:
+        for _ in range(4):
+            w.write(encode_detection_example(
+                jpeg, boxes, labels, is_crowd=[0, 1]))
+
+    cfg = make_cfg(tmp_path)
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4),
+        data=dataclasses.replace(cfg.data,
+                                 train_file_pattern=str(path),
+                                 val_file_pattern=str(path)))
+
+    train_batch = next(iter(Pipeline(str(path), cfg, is_training=True,
+                                     batch_size=4)))
+    # the crowd box (label 1) was dropped before target creation
+    np.testing.assert_array_equal(train_batch["num_boxes"], [1, 1, 1, 1])
+    assert (train_batch["labels"][:, 0] == 0).all()
+
+    eval_batch = next(iter(Pipeline(str(path), cfg, is_training=False,
+                                    batch_size=4)))
+    np.testing.assert_array_equal(eval_batch["num_boxes"], [2, 2, 2, 2])
+    np.testing.assert_array_equal(eval_batch["is_crowd"][0, :2], [False, True])
