@@ -65,12 +65,22 @@ class Predictor:
     def __init__(self, cfg: Config, variables: dict,
                  label_map: dict[int, str] | None = None,
                  preserve_aspect: bool = False,
-                 mesh=None):
+                 mesh=None, spatial_shard: bool = False):
         """``mesh``: an optional ``jax.sharding.Mesh`` (or True to build
         one over all visible devices) for DATA-PARALLEL serving: batches
         shard over the ``data`` axis, params replicate, and XLA runs one
         SPMD predict across the slice — the multi-chip serving analog of
-        the DP train step."""
+        the DP train step.
+
+        ``spatial_shard``: additionally shard the image HEIGHT axis over
+        the mesh's ``model`` axis — the framework's beyond-HBM resolution
+        story (SURVEY.md §5 long-context row): when a single chip cannot
+        hold a resolution's activations, GSPMD splits every conv spatially
+        (halo exchanges over ICI are inserted by XLA) so per-chip
+        activation memory scales 1/model-axis. H must be divisible by the
+        model-axis size. Detections are bitwise-equivalent to replicated
+        execution up to float reduction order (equality-tested on the
+        virtual mesh)."""
         self.cfg = cfg
         self.detector = Detector(cfg)
         self.variables = variables
@@ -81,10 +91,24 @@ class Predictor:
             from ssd_tpu.parallel import create_mesh
             mesh = create_mesh()
         self.mesh = mesh
+        self.spatial_shard = spatial_shard
         if mesh is not None:
-            from ssd_tpu.parallel.mesh import batch_sharding, replicated
-            self._batch_sharding = batch_sharding(mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ssd_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
+                                               batch_sharding, replicated)
+            if spatial_shard:
+                if cfg.image_hw()[0] % mesh.shape[MODEL_AXIS]:
+                    raise ValueError(
+                        f"image height {cfg.image_hw()[0]} not divisible by "
+                        f"model axis {mesh.shape[MODEL_AXIS]}")
+                self._batch_sharding = NamedSharding(
+                    mesh, P(DATA_AXIS, MODEL_AXIS))
+            else:
+                self._batch_sharding = batch_sharding(mesh)
             self.variables = jax.device_put(variables, replicated(mesh))
+        elif spatial_shard:
+            raise ValueError("spatial_shard requires a mesh")
 
     # -------------------------------------------------------------- factory
 

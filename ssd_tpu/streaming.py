@@ -34,14 +34,37 @@ from ssd_tpu.models.detector import Detector
 
 
 class StreamingDetector:
-    def __init__(self, cfg: Config, variables: dict, depth: int = 2):
+    def __init__(self, cfg: Config, variables: dict, depth: int = 2,
+                 mesh=None, spatial_shard: bool = False):
+        """``mesh`` + ``spatial_shard=True``: shard each frame's HEIGHT
+        axis over the mesh's ``model`` axis — beyond-HBM resolutions run
+        with 1/model-axis activation memory per chip, GSPMD inserting the
+        conv halo exchanges (SURVEY.md §5 long-context row). Frame height
+        must divide by the model-axis size."""
         self.cfg = cfg
         self.detector = Detector(cfg)
         self.variables = variables
         self.depth = depth
-        self._predict = jax.jit(
-            lambda v, im: self.detector.predict(v, im[None])
-        )
+        self.mesh = mesh
+        if mesh is not None and spatial_shard:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ssd_tpu.parallel.mesh import MODEL_AXIS, replicated
+            if cfg.image_hw()[0] % mesh.shape[MODEL_AXIS]:
+                raise ValueError(
+                    f"frame height {cfg.image_hw()[0]} not divisible by "
+                    f"model axis {mesh.shape[MODEL_AXIS]}")
+            self.variables = jax.device_put(variables, replicated(mesh))
+            self._predict = jax.jit(
+                lambda v, im: self.detector.predict(v, im[None]),
+                in_shardings=(replicated(mesh),
+                              NamedSharding(mesh, P(MODEL_AXIS))),
+                out_shardings=replicated(mesh),
+            )
+        else:
+            self._predict = jax.jit(
+                lambda v, im: self.detector.predict(v, im[None])
+            )
         self._inflight: collections.deque = collections.deque()
         self._lat = collections.deque(maxlen=256)
         self._done_t = collections.deque(maxlen=256)  # result-fetch times
