@@ -63,6 +63,10 @@ class ModelConfig:
     # depth-16 tensor so the first conv runs dense on the MXU instead of
     # spatially-strided on a 3-channel input (classic TPU detection trick).
     stem_space_to_depth: bool = False
+    # Remat the early (high-res, narrow, lane-padded) backbone stack in
+    # training: "none" | "blocks" | "stack" (mobilenet-v1 only; see
+    # models/mobilenet.py and BENCHMARKS.md round-3 measurement).
+    remat_early: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,7 +101,17 @@ class NMSConfig:
     score_threshold: float = 0.05
     iou_threshold: float = 0.5
     max_boxes: int = 100  # final padded detections per image
-    num_candidates: int = 1024  # global top-Q anchors kept before class-wise NMS
+    # Global top-Q anchors kept before class-wise NMS. The dense-scene
+    # stress benchmark (30-80 objects/image — tools/crowded_validation.py;
+    # BENCHMARKS.md round-3 table) showed that with select="cells" the
+    # recall limit is Q/K CELLS, not Q anchors: single-stage q=1024 (114
+    # cells at 640px) loses 0.027 mAP on crowded scenes. The default is
+    # q=1024 with cell_overprovision=2.0 (below): oracle-parity mAP
+    # (-0.0004) at 1256 img/s b32/640 — the best point on the measured
+    # speed/accuracy frontier (single-stage q=2048 ties it at 1258 with
+    # half the cell recall headroom; q=1024 single-stage is +6% faster
+    # and safe only for known-sparse scenes).
+    num_candidates: int = 1024
     pre_nms_top_k: int = 128  # per-class candidates entering suppression
     use_pallas: bool = True  # on TPU use the Pallas kernel; jnp fallback otherwise
     # Candidate selection strategy:
@@ -111,6 +125,14 @@ class NMSConfig:
     # exact top_k's full sort at b64/80c) vs exact. On CPU approx lowers
     # to the exact path, so oracle tests are unaffected.
     approx_class_topk: bool = True
+    # Two-stage cell selection (select="cells" only): prefilter
+    # ceil(num_candidates * cell_overprovision / K) cells, then refine to
+    # the exact top-num_candidates ANCHORS among them, so NMS cost stays
+    # at num_candidates while the recall limit moves from Q/K cells to
+    # ~overprovision*Q/K cells (the dense-scene cliff in BENCHMARKS.md
+    # round 3). 1.0 disables refinement (single-stage, all K anchors of
+    # Q/K cells).
+    cell_overprovision: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -178,7 +178,12 @@ def select_candidates_cells(
     logit_thr = math.log(cfg.score_threshold / (1.0 - cfg.score_threshold))
     cell_logit = jnp.where(cell_logit >= logit_thr, cell_logit, -jnp.inf)
 
-    q_cells = min(-(-cfg.num_candidates // k), total_cells)
+    # Two-stage selection: overprovision the cell prefilter, then refine
+    # to exact top-num_candidates anchors (see NMSConfig.cell_overprovision
+    # — moves the dense-scene recall limit without growing the NMS input).
+    over = max(float(getattr(cfg, "cell_overprovision", 1.0)), 1.0)
+    q_cells = min(-(-int(cfg.num_candidates * over) // k), total_cells)
+    refine = q_cells * k > cfg.num_candidates
     top_logit, cell_idx = jax.lax.top_k(cell_logit, q_cells)  # (N, Qc)
 
     # 3. gather whole cells per level (contiguous K*C / K*4 lane rows)
@@ -207,13 +212,26 @@ def select_candidates_cells(
     cell_anchors = anchors.reshape(total_cells, k, 4)
     cand_anchors = cell_anchors[cell_idx].reshape(n, q, 4)
 
+    # below-threshold (padding) cells contribute no anchors
+    anchor_live = jnp.repeat(jnp.isfinite(top_logit), k, axis=1)  # (N, q)
+
+    if refine:
+        # exact top-num_candidates anchors among the gathered cells' q
+        # candidates — tiny tensors, one more top_k + three gathers
+        rank = jnp.max(cand_logits, axis=-1)
+        rank = jnp.where(anchor_live, rank, -jnp.inf)
+        _, aidx = jax.lax.top_k(rank, cfg.num_candidates)  # (N, Q)
+        cand_logits = jnp.take_along_axis(
+            cand_logits, aidx[..., None], axis=1)
+        cand_deltas = jnp.take_along_axis(
+            cand_deltas, aidx[..., None], axis=1)
+        cand_anchors = jnp.take_along_axis(
+            cand_anchors, aidx[..., None], axis=1)
+        anchor_live = jnp.take_along_axis(anchor_live, aidx, axis=1)
+
     boxes = box_utils.clip_boxes(box_utils.decode(cand_deltas, cand_anchors))
     scores = jax.nn.sigmoid(cand_logits)
-    # zero out anchors from below-threshold (padding) cells
-    live = jnp.isfinite(top_logit)  # (N, Qc)
-    scores = jnp.where(
-        jnp.repeat(live, k, axis=1)[..., None], scores, 0.0
-    )
+    scores = jnp.where(anchor_live[..., None], scores, 0.0)
     return boxes, scores
 
 
