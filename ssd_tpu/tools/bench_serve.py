@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="capture an XProf trace of the timed window")
     args = p.parse_args()
 
     with open(args.config) as f:
@@ -55,12 +57,16 @@ def main() -> None:
     for _ in range(args.warmup):
         jax.block_until_ready(predict(variables, images))
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     result = None
     for _ in range(args.iters):
         result = predict(variables, images)
     jax.block_until_ready(result)
     dt = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
 
     ms = dt / args.iters * 1e3
     print(json.dumps({
