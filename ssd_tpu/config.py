@@ -159,6 +159,25 @@ class TrainConfig:
     # Warm-start: path to an inference artifact (export dir) whose matching
     # parameter subtrees (typically the backbone) seed the new run.
     init_from: str = ""
+    # Gradient accumulation: >1 splits each global batch into this many
+    # sequential microbatches inside the jitted step (lax.scan), averaging
+    # gradients before ONE optimizer update — large effective batches on
+    # small device counts at ~1/accum activation memory. Standard
+    # accumulation semantics: each microbatch computes the detection loss
+    # with its OWN num_positives normalization and its own BN batch
+    # statistics; the averaged gradient equals the full-batch gradient
+    # exactly when those normalizers agree (and bitwise-tested so in
+    # test_train_step for a norm="group" model).
+    grad_accum_steps: int = 1
+    # Parameter/optimizer-state placement over the mesh:
+    #   "replicated" — every chip holds full params (pure DP);
+    #   "fsdp"       — ZeRO-3-style: large leaves shard over the DATA
+    #                  axis; GSPMD all-gathers params on use and
+    #                  reduce-scatters gradients into the sharded
+    #                  optimizer update, cutting per-chip param+optimizer
+    #                  memory ~1/data-axis. Composes with channel-TP
+    #                  (different axes). See parallel/mesh.fsdp_sharded.
+    param_sharding: str = "replicated"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,6 +77,42 @@ def model_sharded(mesh: Mesh, tree):
     return jax.tree_util.tree_map(rule, tree)
 
 
+def fsdp_sharded(mesh: Mesh, tree, min_elements: int = 2 ** 11):
+    """ZeRO-3-style sharding pytree: large leaves shard over the DATA axis.
+
+    Each leaf with at least ``min_elements`` elements is sharded along its
+    LARGEST dim divisible by the data-axis size (ties: the earliest dim).
+    GSPMD then all-gathers parameters just-in-time for each layer's use in
+    fwd/bwd and reduce-scatters gradients straight into the sharded
+    optimizer update, so per-chip parameter + optimizer-state memory falls
+    ~1/data-axis while the compute stays identical to pure DP. Small
+    leaves (biases, BN scales, scalars) stay replicated — sharding them
+    would cost more collective latency than the bytes saved.
+
+    Applied uniformly to params, optimizer state, and EMA (the
+    TrainState tree): momentum/adam moments live alongside their shards.
+    Composes with channel-TP: this shards over ``data``, TP over
+    ``model`` — combine by applying :func:`model_sharded` first and this
+    to the still-replicated leaves if both are wanted.
+    """
+    dsize = mesh.shape[DATA_AXIS]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if dsize > 1 and size >= min_elements:
+            divisible = [d for d in range(len(shape))
+                         if shape[d] >= 2 * dsize and shape[d] % dsize == 0]
+            if divisible:
+                best = max(divisible, key=lambda d: shape[d])
+                spec = [None] * len(shape)
+                spec[best] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host-side batch dict onto the mesh, sharded on dim 0.
 

@@ -96,20 +96,80 @@ def inference_variables(state: TrainState) -> dict:
 
 def make_train_step(
     detector: Detector, tx: optax.GradientTransformation,
-    ema_decay: float = 0.0,
+    ema_decay: float = 0.0, grad_accum_steps: int = 1,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Returns ``(state, batch) -> (state, metrics)`` — pure, jit-ready."""
+    """Returns ``(state, batch) -> (state, metrics)`` — pure, jit-ready.
+
+    ``grad_accum_steps > 1``: the global batch is split into that many
+    microbatches processed sequentially under ``lax.scan`` (activation
+    memory drops ~1/accum), gradients are averaged, and ONE optimizer
+    update is applied. Microbatches are STRIDED slices (``batch[a::n]``)
+    so each stays evenly sharded over the full ``data`` mesh axis — a
+    contiguous split would serialize the devices. Standard accumulation
+    semantics: each microbatch uses its OWN loss normalizer
+    (num_positives) and its own BN batch statistics, so the averaged
+    gradient equals the full-batch gradient exactly when those agree
+    (tested for a norm="group" model in test_train_step); BN running
+    stats EMA-update once per microbatch.
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        total, (metrics, new_state) = detector.loss(
+            variables, batch, train=True
+        )
+        return total, (metrics, new_state)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def full_batch_grads(state: TrainState, batch: dict):
+        (_, (metrics, new_model_state)), grads = grad_fn(
+            state.params, state.batch_stats, batch)
+        return grads, metrics, new_model_state
+
+    def accumulated_grads(state: TrainState, batch: dict):
+        n = grad_accum_steps
+        # (B, ...) -> (n, B//n, ...) microbatches, STRIDED on dim 0: the
+        # reshape keeps the original batch sharding on the B//n dim, so
+        # every microbatch spans the whole data axis.
+        micro = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(
+                x.reshape((x.shape[0] // n, n) + x.shape[1:]), 1, 0),
+            batch,
+        )
+        first = jax.tree_util.tree_map(lambda x: x[0], micro)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+
+        # first microbatch seeds the carry structure (metrics pytree is
+        # model-defined); the remaining n-1 run under scan
+        (_, (metrics0, model_state0)), grads0 = grad_fn(
+            state.params, state.batch_stats, first)
+
+        def micro_step(carry, mb):
+            batch_stats, gsum, msum = carry
+            (_, (metrics, model_state)), grads = grad_fn(
+                state.params, batch_stats, mb)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            msum = jax.tree_util.tree_map(jnp.add, msum, metrics)
+            return (model_state.get("batch_stats", batch_stats),
+                    gsum, msum), None
+
+        (final_stats, gsum, msum), _ = jax.lax.scan(
+            micro_step,
+            (model_state0.get("batch_stats", state.batch_stats),
+             grads0, dict(metrics0)),
+            rest,
+        )
+        inv = 1.0 / n
+        grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, msum)
+        return grads, metrics, {"batch_stats": final_stats}
 
     def step_fn(state: TrainState, batch: dict):
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            total, (metrics, new_state) = detector.loss(
-                variables, batch, train=True
-            )
-            return total, (metrics, new_state)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_model_state)), grads = grad_fn(state.params)
+        if grad_accum_steps > 1:
+            grads, metrics, new_model_state = accumulated_grads(state, batch)
+        else:
+            grads, metrics, new_model_state = full_batch_grads(state, batch)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -164,8 +164,22 @@ def train(cfg: Config, workdir: str, resume: bool = True,
     tx = make_optimizer(cfg)
     from ssd_tpu.parallel import make_lr_schedule
     lr_fn = make_lr_schedule(cfg)
-    step_fn = jit_train_step(
-        make_train_step(detector, tx, cfg.train.ema_decay), mesh)
+    # step_fn is jitted after the state exists (shardings need its shapes)
+    accum = max(cfg.train.grad_accum_steps, 1)
+    if cfg.train.batch_size % accum:
+        raise ValueError(
+            f"train.batch_size ({cfg.train.batch_size}) must divide by "
+            f"grad_accum_steps ({accum})")
+    data_axis = mesh.shape["data"]
+    if accum > 1 and (cfg.train.batch_size // accum) % data_axis:
+        # A microbatch smaller than the data axis leaves the batch dim
+        # only partially shardable, and XLA SPMD then miscomputes the
+        # depthwise-conv backward (measured: grads off by O(1) at
+        # micro=2 over 8 devices, exact at micro>=devices). Refuse the
+        # degenerate configuration instead of silently training wrong.
+        raise ValueError(
+            f"microbatch ({cfg.train.batch_size}//{accum}) must divide by "
+            f"the data axis ({data_axis}) for grad accumulation")
 
     ckpt = TrainCheckpointer(
         os.path.join(workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
@@ -193,7 +207,20 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         )
         if cfg.train.init_from:
             state = warm_start(state, cfg.train.init_from)
-    state = jax.device_put(state, replicated(mesh))
+    if cfg.train.param_sharding == "fsdp":
+        from ssd_tpu.parallel.mesh import fsdp_sharded
+        state_shardings = fsdp_sharded(mesh, state)
+    elif cfg.train.param_sharding == "replicated":
+        state_shardings = replicated(mesh)
+    else:
+        raise ValueError(
+            f"unknown train.param_sharding: {cfg.train.param_sharding!r}")
+    state = jax.device_put(state, state_shardings)
+    step_fn = jit_train_step(
+        make_train_step(detector, tx, cfg.train.ema_decay,
+                        cfg.train.grad_accum_steps),
+        mesh, state_shardings if cfg.train.param_sharding != "replicated"
+        else None)
 
     # ----- preemption handler --------------------------------------------
     preempted = {"flag": False}

@@ -208,6 +208,105 @@ def test_channel_tp_matches_replicated(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum_steps=4 must produce the SAME updated params as one
+    full-batch step for a batch-stat-free model (norm="group") when every
+    microbatch has the same loss normalizer — _tiny_batch gives each image
+    exactly one identical gt, so per-microbatch num_positives agree.
+
+    The microbatch (32/4 = 8) must span the full 8-device data axis: XLA
+    SPMD miscomputes depthwise-conv backwards for partially-shardable
+    microbatches, which train.py refuses (see its grad-accum guard)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY.model, norm="group"))
+    det = Detector(cfg)
+    tx = make_optimizer(cfg)
+    batch_np = _tiny_batch(rng, n=32)
+    mesh = create_mesh()
+
+    def run(accum):
+        state = create_train_state(det, jax.random.PRNGKey(0), tx)
+        step = jit_train_step(
+            make_train_step(det, tx, grad_accum_steps=accum), mesh)
+        state, metrics = step(state, shard_batch(mesh, batch_np))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_full, params_full = run(1)
+    loss_acc, params_acc = run(4)
+    assert abs(loss_full - loss_acc) < 1e-5, (loss_full, loss_acc)
+    for a, b in zip(jax.tree_util.tree_leaves(params_full),
+                    jax.tree_util.tree_leaves(params_acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_with_bn_trains(rng):
+    """With BatchNorm, accumulation uses per-microbatch statistics: the
+    step must run, update the running stats, and keep params finite."""
+    det = Detector(TINY)
+    tx = make_optimizer(TINY)
+    mesh = create_mesh()
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    bn0 = jax.device_get(jax.tree_util.tree_leaves(state.batch_stats)[0])
+    step = jit_train_step(
+        make_train_step(det, tx, grad_accum_steps=2), mesh)
+    state, metrics = step(state, shard_batch(mesh, _tiny_batch(rng)))
+    assert np.isfinite(float(metrics["loss"]))
+    bn1 = jax.device_get(jax.tree_util.tree_leaves(state.batch_stats)[0])
+    assert not np.allclose(bn0, bn1)  # stats really updated
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(state.params)):
+        assert np.all(np.isfinite(leaf))
+
+
+def test_fsdp_matches_replicated(rng):
+    """One train step with ZeRO-3-style param sharding over the data axis
+    produces the same loss and updated params as replicated DP, while
+    actually sharding the large leaves (per-device shard < full leaf)."""
+    from ssd_tpu.parallel import fsdp_sharded
+
+    det = Detector(TINY)
+    tx = make_optimizer(TINY)
+    batch_np = _tiny_batch(rng)
+
+    def run(fsdp):
+        mesh = create_mesh()
+        state = create_train_state(det, jax.random.PRNGKey(0), tx)
+        if fsdp:
+            shardings = fsdp_sharded(mesh, state)
+            n_sharded = sum(
+                1 for s in jax.tree_util.tree_leaves(shardings)
+                if s.spec != jax.sharding.PartitionSpec()
+            )
+            assert n_sharded > 0
+        else:
+            from ssd_tpu.parallel import replicated
+            shardings = replicated(mesh)
+        state = jax.device_put(state, shardings)
+        if fsdp:
+            # the biggest param leaf really lives sharded: local shard is
+            # a fraction of the global leaf
+            leaves = sorted(jax.tree_util.tree_leaves(state.params),
+                            key=lambda x: -x.size)
+            big = leaves[0]
+            local = big.addressable_shards[0].data.size
+            assert local < big.size
+        step = jit_train_step(
+            make_train_step(det, tx), mesh,
+            shardings if fsdp else None)
+        state, metrics = step(state, shard_batch(mesh, batch_np))
+        return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_dp, params_dp = run(False)
+    loss_fs, params_fs = run(True)
+    assert abs(loss_dp - loss_fs) < 1e-5, (loss_dp, loss_fs)
+    for a, b in zip(jax.tree_util.tree_leaves(params_dp),
+                    jax.tree_util.tree_leaves(params_fs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_ema_tracks_weighted_average(rng):
     """EMA params follow e' = d*e + (1-d)*p exactly, start from the init
     params, and are what inference_variables serves."""
