@@ -77,7 +77,8 @@ def model_sharded(mesh: Mesh, tree):
     return jax.tree_util.tree_map(rule, tree)
 
 
-def fsdp_sharded(mesh: Mesh, tree, min_elements: int = 2 ** 11):
+def fsdp_sharded(mesh: Mesh, tree, min_elements: int = 2 ** 11,
+                 base=None):
     """ZeRO-3-style sharding pytree: large leaves shard over the DATA axis.
 
     Each leaf with at least ``min_elements`` elements is sharded along its
@@ -91,26 +92,36 @@ def fsdp_sharded(mesh: Mesh, tree, min_elements: int = 2 ** 11):
 
     Applied uniformly to params, optimizer state, and EMA (the
     TrainState tree): momentum/adam moments live alongside their shards.
-    Composes with channel-TP: this shards over ``data``, TP over
-    ``model`` — combine by applying :func:`model_sharded` first and this
-    to the still-replicated leaves if both are wanted.
+
+    ``base``: an optional sharding pytree to COMPOSE with (e.g.
+    :func:`model_sharded` channel-TP): each leaf keeps its base axes and
+    additionally shards its largest still-unsharded divisible dim over
+    ``data`` — a conv kernel TP-sharded on its output channels gains a
+    data-axis shard on its input channels, the standard fsdp x tp layout.
     """
     dsize = mesh.shape[DATA_AXIS]
 
-    def rule(x):
+    def rule(x, base_s=None):
         shape = getattr(x, "shape", ())
         size = int(np.prod(shape)) if shape else 0
+        spec = list(base_s.spec) if base_s is not None else []
+        spec += [None] * (len(shape) - len(spec))
         if dsize > 1 and size >= min_elements:
-            divisible = [d for d in range(len(shape))
-                         if shape[d] >= 2 * dsize and shape[d] % dsize == 0]
+            divisible = [
+                d for d in range(len(shape))
+                if spec[d] is None
+                and shape[d] >= 2 * dsize and shape[d] % dsize == 0
+            ]
             if divisible:
                 best = max(divisible, key=lambda d: shape[d])
-                spec = [None] * len(shape)
                 spec[best] = DATA_AXIS
                 return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+        return (base_s if base_s is not None
+                else NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(rule, tree)
+    if base is None:
+        return jax.tree_util.tree_map(rule, tree)
+    return jax.tree_util.tree_map(rule, tree, base)
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
