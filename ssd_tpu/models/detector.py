@@ -60,6 +60,7 @@ def build_backbone(cfg: Config) -> nn.Module:
     if m.backbone == "mobilenet":
         return MobileNetV1(m.width_multiplier, m.compute_dtype,
                            m.bn_momentum, m.norm, stem_stride,
+                           remat_early=m.remat_early,
                            name="backbone")
     if m.backbone == "mobilenet_v2":
         from ssd_tpu.models.mobilenet_v2 import MobileNetV2

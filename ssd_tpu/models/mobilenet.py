@@ -27,29 +27,56 @@ class MobileNetV1(nn.Module):
     bn_momentum: float = 0.997
     norm: str = "batch"
     stem_stride: int = 2
+    # Rematerialization of the early (high-resolution, narrow-channel)
+    # stack during training — the <=64-channel activations at strides 2-4
+    # are stored lane-PADDED to 128 on TPU (4x HBM inflation), a measured
+    # ~34 ms/step tax at b32/640 (BENCHMARKS.md round 2b). Modes:
+    #   "none"   — store everything (default);
+    #   "blocks" — remat each block stem..ds5: block inputs are stored,
+    #              intra-block (depthwise/BN) intermediates recomputed;
+    #   "stack"  — one remat over stem..ds5: only the raw image and c3
+    #              are stored; the whole early stack recomputes in bwd.
+    remat_early: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = lambda ch: _width(ch, self.width_multiplier)
-        DS = functools.partial(DepthwiseSeparable,
+        DSBase = DepthwiseSeparable
+        StemBase = ConvBN
+        if self.remat_early == "blocks":
+            DSBase = nn.remat(DepthwiseSeparable, static_argnums=(2,))
+            StemBase = nn.remat(ConvBN, static_argnums=(2,))
+        DS = functools.partial(DSBase,
                                compute_dtype=self.compute_dtype,
                                bn_momentum=self.bn_momentum, norm=self.norm)
+        DSLate = functools.partial(DepthwiseSeparable,
+                                   compute_dtype=self.compute_dtype,
+                                   bn_momentum=self.bn_momentum,
+                                   norm=self.norm)
 
-        x = ConvBN(w(32), strides=self.stem_stride, compute_dtype=self.compute_dtype,
-                   bn_momentum=self.bn_momentum, norm=self.norm,
-                   act_range=3.0,  # stem input: normalized images, not ReLU6
-                   name="stem")(x, train)  # /2
-        x = DS(w(64), name="ds1")(x, train)
-        x = DS(w(128), strides=2, name="ds2")(x, train)  # /4
-        x = DS(w(128), name="ds3")(x, train)
-        x = DS(w(256), strides=2, name="ds4")(x, train)  # /8
-        x = DS(w(256), name="ds5")(x, train)
+        def early(mdl, x, train):
+            x = StemBase(w(32), strides=mdl.stem_stride,
+                         compute_dtype=mdl.compute_dtype,
+                         bn_momentum=mdl.bn_momentum, norm=mdl.norm,
+                         act_range=3.0,  # stem input: normalized images
+                         name="stem")(x, train)  # /2
+            x = DS(w(64), name="ds1")(x, train)
+            x = DS(w(128), strides=2, name="ds2")(x, train)  # /4
+            x = DS(w(128), name="ds3")(x, train)
+            x = DS(w(256), strides=2, name="ds4")(x, train)  # /8
+            x = DS(w(256), name="ds5")(x, train)
+            return x
+
+        if self.remat_early == "stack":
+            x = nn.remat(early, static_argnums=(2,))(self, x, train)
+        else:
+            x = early(self, x, train)
         c3 = x
-        x = DS(w(512), strides=2, name="ds6")(x, train)  # /16
+        x = DSLate(w(512), strides=2, name="ds6")(x, train)  # /16
         for i in range(5):
-            x = DS(w(512), name=f"ds{7 + i}")(x, train)
+            x = DSLate(w(512), name=f"ds{7 + i}")(x, train)
         c4 = x
-        x = DS(w(1024), strides=2, name="ds12")(x, train)  # /32
-        x = DS(w(1024), name="ds13")(x, train)
+        x = DSLate(w(1024), strides=2, name="ds12")(x, train)  # /32
+        x = DSLate(w(1024), name="ds13")(x, train)
         c5 = x
         return {"c3": c3, "c4": c4, "c5": c5}

@@ -89,7 +89,10 @@ def main() -> None:
     state = ts.create_train_state(detector, jax.random.PRNGKey(0), tx)
 
     mesh = mesh_lib.create_mesh()
-    step = ts.jit_train_step(ts.make_train_step(detector, tx), mesh)
+    step = ts.jit_train_step(
+        ts.make_train_step(detector, tx, cfg.train.ema_decay,
+                           cfg.train.grad_accum_steps),
+        mesh)
 
     batch = synthetic_batch(cfg, args.batch)
     batch = jax.device_put(batch, mesh_lib.batch_sharding(mesh))
