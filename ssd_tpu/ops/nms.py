@@ -100,15 +100,47 @@ def merge_classes(
 ) -> Detections:
     """Flatten per-class survivors and keep the global top-``max_boxes``."""
     n, c, k, _ = top_boxes.shape
-    flat_scores = kept_scores.reshape(n, c * k)
     flat_boxes = top_boxes.reshape(n, c * k, 4)
+    return _merge_flat(
+        lambda final_idx: jnp.take_along_axis(
+            flat_boxes, final_idx[..., None], axis=1),
+        kept_scores, cfg)
+
+
+def merge_classes_lazy(
+    cand_boxes: jnp.ndarray,  # (N, Q, 4) shared candidate boxes
+    top_idx: jnp.ndarray,     # (N, C, K) int candidate index per class slot
+    kept_scores: jnp.ndarray, # (N, C, K) — suppressed/invalid set to -1
+    cfg: NMSConfig,
+) -> Detections:
+    """:func:`merge_classes` without materialized per-class boxes.
+
+    The per-class (N, C, K, 4) box gather is the single most expensive
+    postprocess op on TPU (~1.9 ms/batch at b32/80c/K=128 — scattered
+    4-wide rows). Only the final ``max_boxes`` winners ever need their
+    coordinates, so gather those: compose ``final_idx -> top_idx ->
+    cand_boxes`` (two tiny gathers of ~100 rows/image)."""
+    n, c, k = kept_scores.shape
+
+    def gather_boxes(final_idx):  # (N, m) into the flattened (C*K) plane
+        flat_cand = jnp.take_along_axis(
+            top_idx.reshape(n, c * k), final_idx, axis=1)  # (N, m)
+        return jnp.take_along_axis(
+            cand_boxes, flat_cand[..., None], axis=1)  # (N, m, 4)
+
+    return _merge_flat(gather_boxes, kept_scores, cfg)
+
+
+def _merge_flat(gather_boxes, kept_scores, cfg: NMSConfig) -> Detections:
+    n, c, k = kept_scores.shape
+    flat_scores = kept_scores.reshape(n, c * k)
     flat_labels = jnp.broadcast_to(
         jnp.arange(c, dtype=jnp.int32)[None, :, None], (n, c, k)
     ).reshape(n, c * k)
 
     m = min(cfg.max_boxes, c * k)
     final_scores, final_idx = jax.lax.top_k(flat_scores, m)  # (N, m)
-    final_boxes = jnp.take_along_axis(flat_boxes, final_idx[..., None], axis=1)
+    final_boxes = gather_boxes(final_idx)
     final_labels = jnp.take_along_axis(flat_labels, final_idx, axis=1)
 
     is_det = final_scores > 0.0

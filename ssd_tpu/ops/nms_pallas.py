@@ -18,7 +18,18 @@ batch- AND class-parallel:
     pivots; dynamic lane indexing (unsupported by Mosaic) is replaced by
     one-hot reductions; all-empty blocks exit early (problems are sorted
     by activity so the empty tail clusters);
-  * jnp post-stage: merge classes via global top-``max_boxes``.
+  * jnp post-stage: merge classes via global top-``max_boxes`` — LAZILY:
+    only the final winners' boxes are ever gathered
+    (:func:`ssd_tpu.ops.nms.merge_classes_lazy`).
+
+**Boxes never materialize per class.** The v1 kernel let XLA gather
+``(N, C, K, 4)`` per-class boxes on the host side of the call — measured
+at ~1.9 ms/batch (b32/80c/K=128), the single most expensive postprocess
+op: 327k scattered 4-wide rows. v2 instead ships the SHARED candidate
+boxes once, coordinate-major ``(N, 8, Qp)`` (~1 MB in VMEM for the whole
+batch), and each grid program selects its problems' boxes in-VMEM with a
+one-hot MXU matmul against its image's slice (dynamic leading-dim slice;
+the per-class index list rides in as a normal VMEM operand).
 
 Results match ``ops.nms.batched_nms`` exactly on tie-free scores (tests);
 ties may break differently than the numpy oracle within float tolerance.
@@ -34,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssd_tpu.config import NMSConfig
-from ssd_tpu.ops.nms import Detections, merge_classes
+from ssd_tpu.ops.nms import Detections, merge_classes_lazy
 
 LANE = 128
 # (image, class) problems per grid program. 32 won the on-chip sweep
@@ -47,27 +58,45 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _nms_kernel(boxes_ref, scores_ref, out_ref, iou_scratch, keep_scratch,
-                *, k: int, iou_threshold: float, block: int):
+def _nms_kernel(img_ref, idx_ref, scores_ref, boxes_ref, out_ref,
+                boxsel_scratch, iou_scratch, keep_scratch,
+                *, k: int, qp: int, iou_threshold: float, block: int):
     """BLOCK independent greedy-NMS problems, lock-stepped over K pivots.
 
-    boxes_ref: (BLOCK, 4, K) VMEM — rows ymin/xmin/ymax/xmax per problem.
+    img_ref: (BLOCK, 1) SMEM — image id per problem (post activity sort).
+    idx_ref: (BLOCK, K) VMEM int32 — candidate index per class slot.
     scores_ref/out_ref: (BLOCK, 1, K) — descending scores, invalid = -1.
-    iou_scratch: (BLOCK, K, K) f32; keep_scratch: (BLOCK, K) f32 alive mask.
+    boxes_ref: (N, 8, Qp) VMEM — ALL images' candidate boxes, rows
+        ymin/xmin/ymax/xmax then 4 zero rows (sublane-tile padding).
+    boxsel_scratch: (BLOCK, 8, K) f32 — per-problem selected boxes.
+    iou_scratch: (BLOCK, K, K) f32; keep_scratch: (BLOCK, K) f32.
     """
     scores = scores_ref[:, 0, :]  # (B, K)
     out_ref[:, 0, :] = jnp.full_like(scores, -1.0)
 
     # Early exit: at real inference most (image, class) problems have zero
-    # above-threshold candidates; skip the IoU tensor and the scan entirely
-    # when the whole block is empty (candidates are score-sorted, so lane 0
-    # of each problem holds its max).
+    # above-threshold candidates; skip the select/IoU/scan entirely when
+    # the whole block is empty (candidates are score-sorted, so lane 0 of
+    # each problem holds its max).
     @pl.when(jnp.max(scores) > 0.0)
     def _process():
-        ymin = boxes_ref[:, 0:1, :]  # (B, 1, K)
-        xmin = boxes_ref[:, 1:2, :]
-        ymax = boxes_ref[:, 2:3, :]
-        xmax = boxes_ref[:, 3:4, :]
+        # ---- in-VMEM box select: one-hot MXU matmul per problem --------
+        iota_q = jax.lax.broadcasted_iota(jnp.int32, (qp, k), 0)
+        for b in range(block):
+            img = img_ref[b, 0]
+            boxes_img = boxes_ref[pl.ds(img, 1), :, :][0]  # (8, Qp) f32
+            onehot = (iota_q == idx_ref[pl.ds(b, 1), :]).astype(jnp.float32)
+            sel = jax.lax.dot_general(
+                boxes_img, onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, K)
+            boxsel_scratch[pl.ds(b, 1), :, :] = sel[None]
+
+        ymin = boxsel_scratch[:, 0:1, :]  # (B, 1, K)
+        xmin = boxsel_scratch[:, 1:2, :]
+        ymax = boxsel_scratch[:, 2:3, :]
+        xmax = boxsel_scratch[:, 3:4, :]
 
         area = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)
 
@@ -101,33 +130,42 @@ def _nms_kernel(boxes_ref, scores_ref, out_ref, iou_scratch, keep_scratch,
         out_ref[:, 0, :] = jnp.where(keep_scratch[:] > 0.0, scores, -1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret", "block"))
-def _suppress_pallas(boxes_t: jnp.ndarray, scores: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret",
+                                             "block"))
+def _suppress_pallas(img_ids: jnp.ndarray, idx: jnp.ndarray,
+                     scores: jnp.ndarray, boxes_t: jnp.ndarray,
                      iou_threshold: float, interpret: bool = False,
                      block: int = BLOCK):
-    """boxes_t: (G, 4, K); scores: (G, 1, K) sorted desc. -> kept scores."""
-    g, _, k = boxes_t.shape
+    """img_ids: (G, 1) s32; idx: (G, K) s32; scores: (G, 1, K) sorted desc;
+    boxes_t: (N, 8, Qp) f32. -> kept scores (G, 1, K)."""
+    g, _, k = scores.shape
+    n, _, qp = boxes_t.shape
     assert g % block == 0
-    kernel = functools.partial(_nms_kernel, k=k, iou_threshold=iou_threshold,
-                               block=block)
+    kernel = functools.partial(_nms_kernel, k=k, qp=qp,
+                               iou_threshold=iou_threshold, block=block)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((g, 1, k), jnp.float32),
         grid=(g // block,),
         in_specs=[
-            pl.BlockSpec((block, 4, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 8, qp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, 1, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((block, 8, k), jnp.float32),
             pltpu.VMEM((block, k, k), jnp.float32),
             pltpu.VMEM((block, k), jnp.float32),
         ],
         interpret=interpret,
-    )(boxes_t, scores)
+    )(img_ids, idx, scores, boxes_t)
 
 
 def batched_nms_pallas(
@@ -156,15 +194,20 @@ def batched_nms_pallas(
         top_idx = top_idx.reshape(n, c, k_eff)
     else:
         top_scores, top_idx = jax.lax.top_k(scores_t, k_eff)  # (N, C, k_eff)
-    top_boxes = jnp.take_along_axis(
-        boxes[:, None], top_idx[..., None], axis=2
-    )  # (N, C, k_eff, 4)
 
     if k != k_eff:  # pad to lane multiple with invalid candidates
         pad = k - k_eff
         top_scores = jnp.pad(top_scores, ((0, 0), (0, 0), (0, pad)),
                              constant_values=-1.0)
-        top_boxes = jnp.pad(top_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, 0), (0, pad)))
+    top_idx = top_idx.astype(jnp.int32)
+
+    # Shared candidate boxes, coordinate-major, whole batch: (N, 8, Qp)
+    # f32 (4 coord rows + 4 zero rows for the 8-sublane tile). ~1 MB at
+    # b32/Q=1024 — lives in VMEM across the whole grid.
+    qp = _round_up(q, LANE)
+    boxes_rows = jnp.swapaxes(boxes, 1, 2).astype(jnp.float32)  # (N, 4, Q)
+    boxes_t = jnp.pad(boxes_rows, ((0, 0), (0, 4), (0, qp - q)))
 
     g = n * c
     # Adaptive block: the (B, K, K) IoU scratch (plus pipelining buffers)
@@ -172,12 +215,14 @@ def batched_nms_pallas(
     # as K grows (K=256 at B=32 compiles to a 29MB scoped allocation).
     block = min(BLOCK, max(1, (4 * 1024 * 1024) // (k * k * 4)))
     g_pad = _round_up(g, block)
-    boxes_t = top_boxes.reshape(g, k, 4).transpose(0, 2, 1)  # (G, 4, K)
+    idx_in = top_idx.reshape(g, k)
     scores_in = top_scores.reshape(g, 1, k).astype(jnp.float32)
+    img_ids = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c)[:, None]  # (G, 1)
     if g_pad != g:
-        boxes_t = jnp.pad(boxes_t, ((0, g_pad - g), (0, 0), (0, 0)))
+        idx_in = jnp.pad(idx_in, ((0, g_pad - g), (0, 0)))
         scores_in = jnp.pad(scores_in, ((0, g_pad - g), (0, 0), (0, 0)),
                             constant_values=-1.0)
+        img_ids = jnp.pad(img_ids, ((0, g_pad - g), (0, 0)))
 
     # Cluster active problems together so the kernel's empty-block early
     # exit fires for the (typically large) all-empty tail. Scores are
@@ -185,9 +230,9 @@ def batched_nms_pallas(
     activity = scores_in[:, 0, 0]  # (G_pad,)
     order = jnp.argsort(-activity)
     inverse = jnp.argsort(order)
-    kept = _suppress_pallas(boxes_t[order], scores_in[order],
-                            cfg.iou_threshold, interpret=interpret,
+    kept = _suppress_pallas(img_ids[order], idx_in[order], scores_in[order],
+                            boxes_t, cfg.iou_threshold, interpret=interpret,
                             block=block)
     kept = kept[inverse][:g].reshape(n, c, k)
 
-    return merge_classes(top_boxes, kept, cfg)
+    return merge_classes_lazy(boxes, top_idx, kept, cfg)
