@@ -58,6 +58,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _choose_block(k: int) -> int:
+    """Largest problem-block that fits the VMEM scratch budget.
+
+    Mosaic requires the sublane dim of every block to be a multiple of 8
+    (or the full array dim), so the result is always 8-aligned. The kernel
+    holds ~3 (B, K, K) f32 tensors live at the IoU step (the scratch plus
+    the ``inter``/``union`` temporaries on the kernel stack — measured:
+    block 8 at K=512 compiles to a 24MB scoped allocation, 3x the scratch
+    alone), so the budget models 3 copies against ~10MB of the 16MB VMEM.
+    Returns 0 when even block 8 does not fit — callers take the exact jnp
+    path (K > ~256 only arises in accuracy-sweep configs, never the
+    shipped defaults).
+    """
+    budget = 10 * 1024 * 1024
+    return min(BLOCK, (budget // (3 * k * k * 4)) // 8 * 8)
+
+
 def _nms_kernel(img_ref, idx_ref, scores_ref, boxes_ref, out_ref,
                 boxsel_scratch, iou_scratch, keep_scratch,
                 *, k: int, qp: int, iou_threshold: float, block: int):
@@ -90,6 +107,10 @@ def _nms_kernel(img_ref, idx_ref, scores_ref, boxes_ref, out_ref,
                 boxes_img, onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # HIGHEST: DEFAULT truncates the f32 coordinates to bf16
+                # on the MXU — measured ~1e-3 IoU error, enough to flip
+                # near-threshold suppressions vs the jnp reference.
+                precision=jax.lax.Precision.HIGHEST,
             )  # (8, K)
             boxsel_scratch[pl.ds(b, 1), :, :] = sel[None]
 
@@ -211,9 +232,14 @@ def batched_nms_pallas(
 
     g = n * c
     # Adaptive block: the (B, K, K) IoU scratch (plus pipelining buffers)
-    # must fit the ~16MB VMEM budget. 32 measured fastest at K=128; halve
-    # as K grows (K=256 at B=32 compiles to a 29MB scoped allocation).
-    block = min(BLOCK, max(1, (4 * 1024 * 1024) // (k * k * 4)))
+    # must fit the ~16MB VMEM budget. 32 measured fastest at K=128; shrink
+    # in 8-aligned steps as K grows (Mosaic needs 8-aligned sublane
+    # blocks; K=256 at B=32 compiles to a 29MB scoped allocation).
+    block = _choose_block(k)
+    if block == 0:
+        # K too large for the in-VMEM formulation — exact jnp path.
+        from ssd_tpu.ops.nms import batched_nms
+        return batched_nms(boxes, scores, cfg)
     g_pad = _round_up(g, block)
     idx_in = top_idx.reshape(g, k)
     scores_in = top_scores.reshape(g, 1, k).astype(jnp.float32)
