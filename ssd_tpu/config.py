@@ -67,6 +67,21 @@ class ModelConfig:
     # training: "none" | "blocks" | "stack" (mobilenet-v1 only; see
     # models/mobilenet.py and BENCHMARKS.md round-3 measurement).
     remat_early: str = "none"
+    # Early-backbone schedule (mobilenet-v1 only):
+    #   "reference" — the standard MobileNet table: stem s2 -> 32ch @ /2,
+    #                 ds1 -> 64ch @ /2, ds2 s2 -> 128ch @ /4. On TPU the
+    #                 32/64-channel high-resolution activations are stored
+    #                 lane-padded to 128 (2-4x HBM inflation) — a measured
+    #                 ~34 ms/step tax at b32/640 that remat cannot remove
+    #                 (it is traffic, not residency; BENCHMARKS.md round 3).
+    #   "dense4"    — TPU-native: space-to-depth(4) packs the image to
+    #                 (H/4, W/4, 48), then one dense 3x3 conv goes straight
+    #                 to 128 lane-aligned channels at stride 4. No <=64-ch
+    #                 activation ever exists above stride 4; the /2 features
+    #                 were never consumed (FPN starts at stride 8). A
+    #                 different architecture (not a reference-parity mode):
+    #                 checkpoints are incompatible with "reference".
+    stem_schedule: str = "reference"
 
 
 @dataclasses.dataclass(frozen=True)

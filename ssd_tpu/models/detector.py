@@ -57,10 +57,18 @@ def build_backbone(cfg: Config) -> nn.Module:
             "int8 inference relies on ReLU6-bounded activations; only the "
             "mobilenet backbone supports it")
     stem_stride = 1 if m.stem_space_to_depth else 2
+    if m.stem_schedule != "reference" and m.backbone != "mobilenet":
+        raise ValueError(
+            f"stem_schedule={m.stem_schedule!r} is mobilenet-v1 only")
+    if m.stem_schedule == "dense4" and m.stem_space_to_depth:
+        raise ValueError(
+            "stem_schedule='dense4' already space-to-depth-packs the stem; "
+            "stem_space_to_depth must stay False")
     if m.backbone == "mobilenet":
         return MobileNetV1(m.width_multiplier, m.compute_dtype,
                            m.bn_momentum, m.norm, stem_stride,
                            remat_early=m.remat_early,
+                           stem_schedule=m.stem_schedule,
                            name="backbone")
     if m.backbone == "mobilenet_v2":
         from ssd_tpu.models.mobilenet_v2 import MobileNetV2
@@ -98,6 +106,12 @@ class SSDModel(nn.Module):
             # The backbone's stride-2 stem then sees a (S/2, S/2, 12)
             # input and runs stride 1 — same receptive field, MXU-dense.
             images = space_to_depth(images, 2)
+        elif cfg.model.stem_schedule == "dense4":
+            # TPU-native early schedule: pack the image to (H/4, W/4, 48)
+            # so the backbone's first conv lands on lane-aligned channels
+            # at stride 4 and no <=64-ch high-resolution activation exists
+            # (config.ModelConfig.stem_schedule).
+            images = space_to_depth(images, 4)
         feats = build_backbone(cfg)(images, train)
         # int8 is backbone-only: FPN/head activations are unbounded sums,
         # so they run bf16 regardless.

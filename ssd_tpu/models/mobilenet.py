@@ -37,6 +37,12 @@ class MobileNetV1(nn.Module):
     #   "stack"  — one remat over stem..ds5: only the raw image and c3
     #              are stored; the whole early stack recomputes in bwd.
     remat_early: str = "none"
+    # "reference" | "dense4" — see config.ModelConfig.stem_schedule. With
+    # "dense4" the caller has already space-to-depth(4)-packed the input to
+    # (H/4, W/4, 48); the early stack becomes one dense lane-aligned
+    # 3x3 conv to w(128) plus ds3, replacing stem/ds1/ds2 (whose /2
+    # outputs the FPN never consumed).
+    stem_schedule: str = "reference"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,13 +61,24 @@ class MobileNetV1(nn.Module):
                                    norm=self.norm)
 
         def early(mdl, x, train):
-            x = StemBase(w(32), strides=mdl.stem_stride,
-                         compute_dtype=mdl.compute_dtype,
-                         bn_momentum=mdl.bn_momentum, norm=mdl.norm,
-                         act_range=3.0,  # stem input: normalized images
-                         name="stem")(x, train)  # /2
-            x = DS(w(64), name="ds1")(x, train)
-            x = DS(w(128), strides=2, name="ds2")(x, train)  # /4
+            if mdl.stem_schedule == "dense4":
+                # x is the space-to-depth(4)-packed image: 48 ch @ /4.
+                # One dense 3x3 covers a 12x12-pixel patch — more context
+                # than the reference stem's 3x3 @ /2 — and feeds the MXU a
+                # 48->128 contraction instead of a 3-channel conv.
+                x = StemBase(w(128), strides=1,
+                             compute_dtype=mdl.compute_dtype,
+                             bn_momentum=mdl.bn_momentum, norm=mdl.norm,
+                             act_range=3.0,  # normalized image values
+                             name="stem")(x, train)  # /4
+            else:
+                x = StemBase(w(32), strides=mdl.stem_stride,
+                             compute_dtype=mdl.compute_dtype,
+                             bn_momentum=mdl.bn_momentum, norm=mdl.norm,
+                             act_range=3.0,  # stem input: normalized images
+                             name="stem")(x, train)  # /2
+                x = DS(w(64), name="ds1")(x, train)
+                x = DS(w(128), strides=2, name="ds2")(x, train)  # /4
             x = DS(w(128), name="ds3")(x, train)
             x = DS(w(256), strides=2, name="ds4")(x, train)  # /8
             x = DS(w(256), name="ds5")(x, train)

@@ -259,6 +259,9 @@ def main() -> None:
     p.add_argument("--val-images", type=int, default=256)
     p.add_argument("--skip-train", action="store_true",
                    help="reuse workdir/run/export from a previous run")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="config overrides, e.g. model.stem_schedule=dense4 "
+                        "(also used to A/B architectures on this task)")
     p.add_argument("--out-json", default=None)
     args = p.parse_args()
 
@@ -272,6 +275,11 @@ def main() -> None:
         write_dataset(val_path, args.val_images, seed=1)
 
     cfg = make_config(args.workdir, args.steps)
+    if args.set:
+        from ssd_tpu.config import Config
+        from ssd_tpu.tools.bench_train import apply_overrides
+        cfg = Config.from_dict(
+            apply_overrides(json.loads(cfg.to_json()), args.set))
     rundir = os.path.join(args.workdir, "run")
     if not args.skip_train:
         from ssd_tpu.train import train

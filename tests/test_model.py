@@ -132,6 +132,46 @@ def test_space_to_depth_stem_same_anchors():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_dense4_stem_schedule():
+    """dense4: same head contract, no narrow high-res activations, trains."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        SMALL, model=dataclasses.replace(SMALL.model, stem_schedule="dense4"))
+    det = Detector(cfg)
+    variables = det.init(jax.random.PRNGKey(0))
+    bb = variables["params"]["backbone"]
+    # stem/ds1/ds2 are replaced by one dense conv to w(128) at stride 4
+    assert "ds1" not in bb and "ds2" not in bb and "ds3" in bb
+    assert bb["stem"]["conv"]["kernel"].shape == (3, 3, 48, 32)  # w=0.25
+    images = normalize_images(jnp.asarray(_batch_images(2, 128)))
+    logits, deltas = det.apply(variables, images)
+    assert logits.shape == (2, cfg.num_anchors(), 4)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # the loss path (matching + focal + smooth-L1) runs and is finite
+    batch = {
+        "images": jnp.asarray(_batch_images(2, 128)),
+        "boxes": jnp.tile(jnp.asarray([0.2, 0.2, 0.8, 0.8]), (2, 4, 1)),
+        "labels": jnp.zeros((2, 4), jnp.int32),
+        "num_boxes": jnp.ones((2,), jnp.int32),
+    }
+    loss, _ = det.loss(variables, batch, train=True)
+    assert np.isfinite(float(loss))
+
+
+def test_dense4_rejects_bad_combinations():
+    import dataclasses
+    cfg = dataclasses.replace(
+        SMALL, model=dataclasses.replace(SMALL.model, stem_schedule="dense4",
+                                         stem_space_to_depth=True))
+    with pytest.raises(ValueError, match="space-to-depth"):
+        Detector(cfg).init(jax.random.PRNGKey(0))
+    cfg = dataclasses.replace(
+        SMALL, model=dataclasses.replace(SMALL.model, stem_schedule="dense4",
+                                         backbone="shufflenet"))
+    with pytest.raises(ValueError, match="mobilenet"):
+        Detector(cfg).init(jax.random.PRNGKey(0))
+
+
 def test_int8_backbone_agrees_with_f32():
     import dataclasses
     cfg32 = dataclasses.replace(
