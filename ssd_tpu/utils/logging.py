@@ -17,12 +17,20 @@ import jax
 
 
 class MetricLogger:
-    def __init__(self, log_dir: str | None = None, window: int = 100):
+    def __init__(self, log_dir: str | None = None, window: int = 100,
+                 tensorboard: bool = True):
         self.log_dir = log_dir
         self._file = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if tensorboard:
+                # pure-Python tfevents writer (utils/tensorboard.py) — no
+                # TensorBoard import needed to WRITE; any stock install
+                # reads the result.
+                from ssd_tpu.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
         self._step_times = deque(maxlen=window)
         self._data_times = deque(maxlen=window)
         self._last = time.perf_counter()
@@ -67,7 +75,14 @@ class MetricLogger:
         if self._file:
             self._file.write(json.dumps(record) + "\n")
             self._file.flush()
+        if self._tb:
+            self._tb.add_scalars(
+                {k: v for k, v in record.items()
+                 if k != "step" and isinstance(v, (int, float))}, step)
+            self._tb.flush()
 
     def close(self) -> None:
         if self._file:
             self._file.close()
+        if self._tb:
+            self._tb.close()
