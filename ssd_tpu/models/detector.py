@@ -26,6 +26,7 @@ import numpy as np
 
 from ssd_tpu.config import Config
 from ssd_tpu.models.fpn import FPN, RetinaHead
+from ssd_tpu.models.layers import space_to_depth
 from ssd_tpu.models.mobilenet import MobileNetV1
 from ssd_tpu.models.resnet import ResNet50
 from ssd_tpu.models.shufflenet import ShuffleNetV2
@@ -85,12 +86,6 @@ def build_backbone(cfg: Config) -> nn.Module:
     raise ValueError(f"unknown backbone: {m.backbone}")
 
 
-def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
-    """NHWC space-to-depth: (N, H, W, C) -> (N, H/b, W/b, C*b*b)."""
-    n, h, w, c = x.shape
-    x = x.reshape(n, h // block, block, w // block, block, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, h // block, w // block, c * block * block)
 
 
 class SSDModel(nn.Module):
@@ -106,12 +101,10 @@ class SSDModel(nn.Module):
             # The backbone's stride-2 stem then sees a (S/2, S/2, 12)
             # input and runs stride 1 — same receptive field, MXU-dense.
             images = space_to_depth(images, 2)
-        elif cfg.model.stem_schedule == "dense4":
-            # TPU-native early schedule: pack the image to (H/4, W/4, 48)
-            # so the backbone's first conv lands on lane-aligned channels
-            # at stride 4 and no <=64-ch high-resolution activation exists
-            # (config.ModelConfig.stem_schedule).
-            images = space_to_depth(images, 4)
+        # dense4 (cfg.model.stem_schedule) takes the RAW normalized image:
+        # its space-to-depth(4) packing is folded into the stem conv's
+        # lowering inside the backbone (models/mobilenet.Dense4Stem), so
+        # no full-image reshape/transpose chain ever materializes.
         feats = build_backbone(cfg)(images, train)
         # int8 is backbone-only: FPN/head activations are unbounded sums,
         # so they run bf16 regardless.

@@ -33,6 +33,14 @@ def _num_groups(channels: int, target: int = 32) -> int:
     return g
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """NHWC space-to-depth: (N, H, W, C) -> (N, H/b, W/b, C*b*b)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, c * block * block)
+
+
 class ConvBN(nn.Module):
     """3x3/1x1 conv + batch-norm + optional activation.
 

@@ -158,6 +158,24 @@ def test_dense4_stem_schedule():
     assert np.isfinite(float(loss))
 
 
+def test_dense4_folded_stem_matches_packed():
+    """The 12x12/s4 folded conv == s2d(4) + 3x3 SAME conv, exactly (f32)."""
+    from ssd_tpu.models.layers import space_to_depth
+    from ssd_tpu.models.mobilenet import _FoldedS2DConv
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    mod = _FoldedS2DConv(16, jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(1), img)
+    folded = mod.apply(variables, img)
+    packed = jax.lax.conv_general_dilated(
+        space_to_depth(img, 4), variables["params"]["kernel"],
+        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert folded.shape == packed.shape == (2, 8, 8, 16)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(packed),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dense4_rejects_bad_combinations():
     import dataclasses
     cfg = dataclasses.replace(
