@@ -186,27 +186,33 @@ def select_candidates_cells(
     refine = q_cells * k > cfg.num_candidates
     top_logit, cell_idx = jax.lax.top_k(cell_logit, q_cells)  # (N, Qc)
 
-    # 3. gather whole cells per level (contiguous K*C / K*4 lane rows)
-    cand_cls = jnp.zeros((n, q_cells, kc), raw_levels[0][0].dtype)
-    cand_box = jnp.zeros((n, q_cells, 4 * k), raw_levels[0][1].dtype)
+    # 3. gather whole cells per level (contiguous K*C / K*4 lane rows) as a
+    # ONE-HOT MXU matmul per level, accumulated: take_along_axis forces a
+    # row-major relayout of the full (N, cells, K*C) class map (~1 ms at
+    # b32/640 — the conv emits a batch-interleaved layout), while a
+    # batched dot consumes the conv output where it lies and selection by
+    # {0,1} matrices is exact in bf16. Invalid (other-level / padding)
+    # rows are zeroed in the one-hot, so the accumulation IS the masking.
+    cand_cls = jnp.zeros((n, q_cells, kc), jnp.float32)
+    cand_box = jnp.zeros((n, q_cells, 4 * k), jnp.float32)
     offset = 0
     for (cls_raw, box_raw), n_cells in zip(raw_levels, cells_per_level):
         local = cell_idx - offset
         valid = (local >= 0) & (local < n_cells)
-        safe = jnp.clip(local, 0, n_cells - 1)
-        lvl_cls = jnp.take_along_axis(
-            cls_raw.reshape(n, n_cells, kc), safe[..., None], axis=1
-        )
-        lvl_box = jnp.take_along_axis(
-            box_raw.reshape(n, n_cells, 4 * k), safe[..., None], axis=1
-        )
-        cand_cls = jnp.where(valid[..., None], lvl_cls, cand_cls)
-        cand_box = jnp.where(valid[..., None], lvl_box, cand_box)
+        onehot = jax.nn.one_hot(
+            jnp.where(valid, local, -1), n_cells, dtype=cls_raw.dtype
+        )  # (N, Qc, cells); -1 -> all-zero row
+        cand_cls = cand_cls + jnp.einsum(
+            "nqs,nsk->nqk", onehot, cls_raw.reshape(n, n_cells, kc),
+            preferred_element_type=jnp.float32)
+        cand_box = cand_box + jnp.einsum(
+            "nqs,nsk->nqk", onehot, box_raw.reshape(n, n_cells, 4 * k),
+            preferred_element_type=jnp.float32)
         offset += n_cells
 
     q = q_cells * k
-    cand_logits = cand_cls.reshape(n, q, c).astype(jnp.float32)
-    cand_deltas = cand_box.reshape(n, q, 4).astype(jnp.float32)
+    cand_logits = cand_cls.reshape(n, q, c)
+    cand_deltas = cand_box.reshape(n, q, 4)
 
     # anchors grouped by cell at trace time: (A, 4) -> (cells, K, 4)
     cell_anchors = anchors.reshape(total_cells, k, 4)
