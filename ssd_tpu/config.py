@@ -109,6 +109,12 @@ class MatcherConfig:
     matching_threshold: float = 0.5
     negative_threshold: float = 0.4
     force_match_for_each_gt: bool = True
+    # Opt-in: run matching as the single-pass Pallas kernel (IoU computed
+    # once for both argmax directions — ops/matching_pallas.py); the jnp
+    # matcher is the default — XLA's fused recompute of the (N, A, M) IoU
+    # inside both reductions is cheaper in the full train step than any
+    # materializing kernel measured so far (BENCHMARKS.md round 3).
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,9 +17,18 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import jax
+
 from ssd_tpu.config import MatcherConfig
 from ssd_tpu.ops import box_utils
 from ssd_tpu.ops.matching import match_anchors
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
 
 
 class Targets(NamedTuple):
@@ -42,7 +51,16 @@ def create_targets(
     matcher_cfg: MatcherConfig,
     class_onehot: bool = True,
 ) -> Targets:
-    matches = match_anchors(anchors, gt_boxes, num_boxes, matcher_cfg)  # (N, A)
+    if getattr(matcher_cfg, "use_pallas", False) and _on_tpu():
+        # opt-in single-pass kernel: IoU computed once for BOTH argmax
+        # directions (ops/matching_pallas.py; see BENCHMARKS.md round 3 —
+        # the jnp matcher's fused recompute wins in the full train step)
+        from ssd_tpu.ops.matching_pallas import match_anchors_pallas
+        matches = match_anchors_pallas(anchors, gt_boxes, num_boxes,
+                                       matcher_cfg)  # (N, A)
+    else:
+        matches = match_anchors(anchors, gt_boxes, num_boxes,
+                                matcher_cfg)  # (N, A)
 
     positive = matches >= 0
     ignored = matches == -2
