@@ -23,6 +23,7 @@ Example schema (TF Object Detection API conventions):
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterator
 
@@ -110,16 +111,38 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
 
 
 def record_offsets(path: str) -> list[tuple[int, int]]:
-    """(offset, length) of every record payload — for random access."""
+    """(offset, length) of every record payload — for random access.
+
+    Validates the header CRC of every record so a non-TFRecord file (a
+    ``*-label_map.json`` sidecar swept in by a too-broad file pattern, a
+    stray text file) fails with a clear error naming the file instead of
+    a garbage length driving ``seek`` into EINVAL. A truncated final
+    record (partial write/crash) still terminates cleanly, matching
+    :func:`read_records`.
+    """
     out = []
     with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
         pos = 0
         while True:
             header = f.read(8)
             if len(header) < 8:
                 return out
             (length,) = struct.unpack("<Q", header)
-            f.seek(4, 1)
+            hcrc_raw = f.read(4)
+            if len(hcrc_raw) < 4:
+                return out  # truncated tail: stop cleanly
+            (hcrc,) = struct.unpack("<I", hcrc_raw)
+            if masked_crc(header) != hcrc:
+                raise IOError(
+                    f"{path}: not a TFRecord file (header CRC mismatch at "
+                    f"offset {pos}). Is the file pattern matching "
+                    "non-tfrecord files (e.g. the *-label_map.json / "
+                    "*-category_ids.json sidecars)? Use a pattern like "
+                    "'<prefix>-*-of-*'."
+                )
+            if pos + 12 + length + 4 > size:
+                return out  # truncated tail: stop cleanly
             out.append((pos + 12, length))
             f.seek(length + 4, 1)
             pos += 12 + length + 4

@@ -41,6 +41,40 @@ def test_corrupt_crc_detected(tmp_path):
     assert len(list(read_records(p))) == 1
 
 
+def test_non_tfrecord_file_raises_clear_error(tmp_path):
+    """A JSON sidecar swept in by a broad glob must fail with a named error.
+
+    ``record_offsets`` used to trust the first 8 bytes as a length and
+    drive ``seek`` into EINVAL; now the header CRC check rejects the file
+    with a message naming it (seen live: ``train-*`` matching the
+    ``train-label_map.json`` sidecar written by create_tfrecords).
+    """
+    from ssd_tpu.data.tfrecord import record_offsets
+
+    p = str(tmp_path / "train-label_map.json")
+    with open(p, "w") as f:
+        f.write('{"red": 1, "green": 2}')
+    with pytest.raises(IOError, match="label_map"):
+        record_offsets(p)
+
+
+def test_record_offsets_truncated_tail_stops_cleanly(tmp_path):
+    from ssd_tpu.data.tfrecord import record_offsets
+
+    p = str(tmp_path / "t.tfrecords")
+    payload = encode_detection_example(
+        b"x" * 100, np.zeros((1, 4), np.float32), np.zeros(1, np.int64))
+    with RecordWriter(p) as w:
+        w.write(payload)
+        w.write(payload)
+    full = record_offsets(p)
+    assert len(full) == 2
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(data[: len(data) - 7])  # chop mid-record
+    assert record_offsets(p) == full[:1]
+
+
 def test_invalid_jpeg_falls_back_gracefully():
     out = native.decode_jpeg_batch([b"not a jpeg at all"], 32, 32)
     assert out.shape == (1, 32, 32, 3)
