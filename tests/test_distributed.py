@@ -51,7 +51,6 @@ def test_two_process_train_and_eval_agree(tmp_path):
     shutil.copytree(tmp_path / "pretrain_run" / "export",
                     tmp_path / "pretrained")
 
-    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
     env = dict(
         os.environ,
@@ -59,20 +58,32 @@ def test_two_process_train_and_eval_agree(tmp_path):
         PALLAS_AXON_POOL_IPS="",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
     )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port), str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, cwd=os.path.dirname(os.path.dirname(worker)) or ".",
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    def _run_workers():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, cwd=os.path.dirname(os.path.dirname(worker)) or ".",
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        return [p.returncode for p in procs], outs
+
+    # Coordinator dial / Gloo barriers can time out when the 1-core CI
+    # host is saturated by a parallel suite run — retry ONCE on a fresh
+    # port for nonzero exits only; result-mismatch assertions below never
+    # retry (those would be real bugs, not infra flakes).
+    codes, outs = _run_workers()
+    if any(codes):
+        codes, outs = _run_workers()
+    for code, out in zip(codes, outs):
+        assert code == 0, f"worker failed:\n{out[-4000:]}"
 
     results = {}
     for out in outs:
