@@ -6,7 +6,7 @@ import numpy as np
 
 from test_e2e import make_cfg, write_synth_dataset
 
-from ssd_tpu.tools.anchor_stats import analyze
+from ssd_tpu.tools.analyze_anchors import analyze
 
 
 def _dataset_cfg(tmp_path, n=24):
