@@ -135,6 +135,12 @@ class NMSConfig:
     num_candidates: int = 1024
     pre_nms_top_k: int = 128  # per-class candidates entering suppression
     use_pallas: bool = True  # on TPU use the Pallas kernel; jnp fallback otherwise
+    # Suppression method: "hard" (greedy NMS, reference parity, Pallas
+    # kernel available) | "soft_linear" | "soft_gaussian" (Soft-NMS score
+    # decay — better recall on crowded scenes at slightly more compute;
+    # always runs the jnp path).
+    method: str = "hard"
+    soft_sigma: float = 0.5  # gaussian decay width (soft_gaussian only)
     # Candidate selection strategy:
     #   "anchors" — flatten to (N, A, C) logits, approximate top-Q anchors;
     #   "cells"   — cell-major selection in the conv-native layout (no

@@ -70,6 +70,50 @@ def greedy_suppression_mask(
     return jax.lax.fori_loop(0, k, body, valid)
 
 
+def soft_suppression_scores(
+    boxes: jnp.ndarray,    # (..., K, 4)
+    scores: jnp.ndarray,   # (..., K) — invalid candidates at -1
+    cfg: NMSConfig,
+) -> jnp.ndarray:
+    """Soft-NMS (Bodla et al. 2017) score decay, vectorized over (N, C).
+
+    Instead of removing a box that overlaps a higher-scored pivot, its
+    score decays by ``f(IoU)`` — linear (``1 - iou`` past the overlap
+    threshold) or gaussian (``exp(-iou^2 / sigma)``). Because decayed
+    scores can reorder, each of the K steps re-argmaxes the unprocessed
+    candidates (the classic formulation), which keeps the loop state at
+    O(...*K) like :func:`greedy_suppression_mask`. Returns the decayed
+    scores with everything under ``score_threshold`` set to -1, ready
+    for the standard class-merge.
+    """
+    k = boxes.shape[-2]
+    gaussian = cfg.method == "soft_gaussian"
+    lane = jnp.arange(k)
+
+    def body(_, carry):
+        s, processed = carry
+        masked = jnp.where(processed, -jnp.inf, s)
+        pivot_idx = jnp.argmax(masked, axis=-1)               # (...,)
+        pivot_score = jnp.take_along_axis(
+            s, pivot_idx[..., None], axis=-1)[..., 0]
+        pivot_box = jnp.take_along_axis(
+            boxes, pivot_idx[..., None, None], axis=-2)       # (..., 1, 4)
+        ious = jnp.squeeze(box_utils.iou(pivot_box, boxes), axis=-2)
+        if gaussian:
+            decay = jnp.exp(-(ious * ious) / cfg.soft_sigma)
+        else:
+            decay = jnp.where(ious > cfg.iou_threshold, 1.0 - ious, 1.0)
+        is_pivot = lane == pivot_idx[..., None]
+        active = (pivot_score > 0.0)[..., None]
+        untouched = processed | is_pivot | ~active
+        s = jnp.where(untouched, s, s * decay)
+        return s, processed | is_pivot
+
+    s, _ = jax.lax.fori_loop(
+        0, k, body, (scores, jnp.zeros(scores.shape, bool)))
+    return jnp.where(s >= cfg.score_threshold, s, -1.0)
+
+
 def batched_nms(
     boxes: jnp.ndarray,     # (N, A, 4) decoded, clipped
     scores: jnp.ndarray,    # (N, A, C) post-sigmoid probabilities
@@ -88,6 +132,10 @@ def batched_nms(
     )  # (N, C, K, 4)
 
     valid = top_scores > 0.0
+    if cfg.method != "hard":
+        kept = soft_suppression_scores(
+            top_boxes, jnp.where(valid, top_scores, -1.0), cfg)
+        return merge_classes(top_boxes, kept, cfg)
     keep = greedy_suppression_mask(top_boxes, valid, cfg.iou_threshold)
 
     return merge_classes(top_boxes, jnp.where(keep, top_scores, -1.0), cfg)

@@ -252,7 +252,7 @@ def postprocess_cells(
     boxes, scores = select_candidates_cells(
         raw_levels, anchors, num_classes, cfg
     )
-    if use_pallas:
+    if use_pallas and cfg.method == "hard":
         from ssd_tpu.ops.nms_pallas import batched_nms_pallas
         return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
     return batched_nms(boxes, scores, cfg)
@@ -270,7 +270,7 @@ def postprocess_pyramid(
     boxes, scores = select_candidates_pyramid(
         raw_levels, anchors, num_classes, cfg, exact=exact_topk
     )
-    if use_pallas:
+    if use_pallas and cfg.method == "hard":
         from ssd_tpu.ops.nms_pallas import batched_nms_pallas
         return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
     return batched_nms(boxes, scores, cfg)
@@ -287,7 +287,7 @@ def postprocess_detections(
 ) -> Detections:
     boxes, scores = select_candidates(logits, deltas, anchors, cfg,
                                       exact=exact_topk)
-    if use_pallas:
+    if use_pallas and cfg.method == "hard":
         from ssd_tpu.ops.nms_pallas import batched_nms_pallas
         return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
     return batched_nms(boxes, scores, cfg)
