@@ -183,11 +183,25 @@ def variant_postprocessors(det, cfg, on_tpu: bool):
                                  cell_overprovision=1.0)
         variants.append((f"cells q=1024 pre_nms_top_k={topk}", "cells",
                          cells_fn(vt, True)))
+    # Soft-NMS method sweep on the default two-stage cell path — crowded
+    # scenes are exactly where score decay vs hard suppression should
+    # show up (always the jnp path; no Pallas kernel for soft)
+    for meth, sigma in (("soft_linear", None), ("soft_gaussian", 0.25),
+                        ("soft_gaussian", 0.5)):
+        kw = {"method": meth}
+        if sigma is not None:
+            kw["soft_sigma"] = sigma
+        vs = dataclasses.replace(nms, num_candidates=1024,
+                                 approx_class_topk=False,
+                                 cell_overprovision=2.0, **kw)
+        label = meth if sigma is None else f"{meth} sigma={sigma:g}"
+        variants.append((f"cells q=1024 refine-x2 {label}", "cells",
+                         cells_fn(vs, False)))
     return variants
 
 
 def run_sweep(cfg, variables, val_pattern: str, max_images: int | None,
-              batch_size: int = 16) -> list[dict]:
+              batch_size: int = 16, only: str = "") -> list[dict]:
     import jax
 
     from ssd_tpu.data.pipeline import Pipeline
@@ -203,6 +217,10 @@ def run_sweep(cfg, variables, val_pattern: str, max_images: int | None,
         v, normalize_images(im), train=False, flatten=False))
 
     variants = variant_postprocessors(det, cfg, on_tpu)
+    if only:
+        # the oracle row always stays — it anchors the d_mAP column
+        variants = [v for i, v in enumerate(variants)
+                    if i == 0 or only in v[0]]
     evaluators = {name: DetectionEvaluator(cfg.num_classes)
                   for name, _, _ in variants}
 
@@ -262,6 +280,8 @@ def main() -> None:
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                    help="config overrides, e.g. model.stem_schedule=dense4 "
                         "(also used to A/B architectures on this task)")
+    p.add_argument("--only", default="",
+                   help="substring filter on variant names (oracle kept)")
     p.add_argument("--out-json", default=None)
     args = p.parse_args()
 
@@ -288,7 +308,8 @@ def main() -> None:
     from ssd_tpu.export import load_inference_artifact
     _, variables = load_inference_artifact(os.path.join(rundir, "export"))
 
-    rows = run_sweep(cfg, variables, val_path, args.val_images)
+    rows = run_sweep(cfg, variables, val_path, args.val_images,
+                     only=args.only)
     print_table(rows)
     if args.out_json:
         with open(args.out_json, "w") as f:
