@@ -186,6 +186,11 @@ class TrainConfig:
     # Warm-start: path to an inference artifact (export dir) whose matching
     # parameter subtrees (typically the backbone) seed the new run.
     init_from: str = ""
+    # Fine-tuning: comma-separated top-level modules whose parameters are
+    # FROZEN (gradients zeroed before the optimizer; params bit-identical
+    # across steps). E.g. "backbone" or "backbone,fpn". BN running stats
+    # keep tracking the new data.
+    freeze: str = ""
     # Gradient accumulation: >1 splits each global batch into this many
     # sequential microbatches inside the jitted step (lax.scan), averaging
     # gradients before ONE optimizer update — large effective batches on

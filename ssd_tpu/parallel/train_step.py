@@ -67,7 +67,25 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     chain = [opt]
     if t.gradient_clip_norm > 0:
         chain = [optax.clip_by_global_norm(t.gradient_clip_norm)] + chain
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if t.freeze:
+        # Fine-tuning with frozen subtrees (the importer/warm-start
+        # companion: bring pretrained weights in, train only the rest).
+        # Gradients for frozen top-level modules are zeroed BEFORE the
+        # optimizer, so moments never accumulate for them and the params
+        # stay bit-identical. BN running statistics keep tracking the new
+        # data distribution (usually wanted under domain shift; use
+        # norm="group" to remove running stats entirely).
+        frozen = {m.strip() for m in t.freeze.split(",") if m.strip()}
+
+        def mask_fn(params):
+            return {k: (jax.tree_util.tree_map(lambda _: k in frozen, v)
+                        if isinstance(v, dict) else k in frozen)
+                    for k, v in params.items()}
+
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), mask_fn), tx)
+    return tx
 
 
 def create_train_state(detector: Detector, rng: jax.Array,

