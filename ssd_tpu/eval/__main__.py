@@ -28,6 +28,9 @@ def main() -> None:
                    help="also write pycocotools-compatible results JSON "
                         "(uses image/source_id from the tfrecords and a "
                         "<pattern>-category_ids.json map when present)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="config overrides for this eval only, e.g. "
+                        "nms.method=soft_gaussian nms.score_threshold=0.01")
     args = p.parse_args()
 
     import jax
@@ -43,6 +46,14 @@ def main() -> None:
             cfg, data=dataclasses.replace(cfg.data,
                                           val_file_pattern=args.val_pattern)
         )
+    if args.set:
+        import json as jsonlib
+
+        from ssd_tpu.config import Config
+        from ssd_tpu.tools.bench_train import apply_overrides
+
+        cfg = Config.from_dict(
+            apply_overrides(jsonlib.loads(cfg.to_json()), args.set))
     detector = Detector(cfg)
     predict = jax.jit(lambda v, im: detector.predict(v, im))
 
