@@ -212,6 +212,57 @@ static bool crc_init = []() {
   return true;
 }();
 
+// TFRecord shard indexing: walk the framing sequentially, verify every
+// header CRC (rejects non-tfrecord files swept in by broad globs), and
+// emit (payload offset, payload length) pairs for random access. Stops
+// cleanly at a truncated tail, matching the Python reference
+// (ssd_tpu/data/tfrecord.py record_offsets). GIL-free via ctypes.
+//
+// Returns the record count (>= 0); -1 on header-CRC mismatch with
+// *bad_pos = file offset of the bad record; -2 when the file cannot be
+// opened; -3 when `cap` is too small (never happens for cap >= size/16+1,
+// the minimum record footprint being 16 bytes).
+uint32_t ssd_crc32c(const uint8_t* data, uint64_t len);  // defined below
+
+int64_t ssd_tfrecord_index(const char* path, uint64_t* offsets,
+                           uint64_t* lengths, int64_t cap,
+                           uint64_t* bad_pos) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -2;
+  if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -2; }
+  const uint64_t size = static_cast<uint64_t>(ftell(f));
+  rewind(f);
+
+  int64_t n = 0;
+  uint64_t pos = 0;
+  uint8_t hdr[12];
+  while (pos + 12 <= size) {
+    if (fread(hdr, 1, 12, f) != 12) break;  // truncated tail
+    uint64_t len = 0;
+    for (int i = 7; i >= 0; --i) len = (len << 8) | hdr[i];
+    uint32_t stored = static_cast<uint32_t>(hdr[8]) | (hdr[9] << 8) |
+                      (hdr[10] << 16) |
+                      (static_cast<uint32_t>(hdr[11]) << 24);
+    uint32_t crc = ssd_crc32c(hdr, 8);
+    uint32_t masked =
+        (((crc >> 15) | (crc << 17)) + 0xA282EAD8u) & 0xFFFFFFFFu;
+    if (masked != stored) {
+      if (bad_pos) *bad_pos = pos;
+      fclose(f);
+      return -1;
+    }
+    if (pos + 12 + len + 4 > size) break;  // truncated tail
+    if (n >= cap) { fclose(f); return -3; }
+    offsets[n] = pos + 12;
+    lengths[n] = len;
+    ++n;
+    pos += 12 + len + 4;
+    if (fseek(f, static_cast<long>(pos), SEEK_SET) != 0) break;
+  }
+  fclose(f);
+  return n;
+}
+
 uint32_t ssd_crc32c(const uint8_t* data, uint64_t len) {
   uint32_t crc = 0xFFFFFFFFu;
   while (len >= 8) {

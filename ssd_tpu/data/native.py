@@ -61,6 +61,13 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
     lib.ssd_resize.restype = ctypes.c_int
+    if hasattr(lib, "ssd_tfrecord_index"):  # stale .so builds lack it
+        lib.ssd_tfrecord_index.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.ssd_tfrecord_index.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -161,3 +168,36 @@ def crc32c(data: bytes) -> int:
         return int(lib.ssd_crc32c(data, len(data)))
     from ssd_tpu.data.tfrecord import crc32c as py_crc
     return py_crc(data)
+
+
+def tfrecord_index(path: str) -> list[tuple[int, int]] | None:
+    """Native TFRecord shard index: (payload offset, length) per record.
+
+    Header CRCs are verified in C++ with the GIL released; a truncated
+    tail stops cleanly. Returns None when the native lib is unavailable
+    (caller falls back to the Python walker); raises ``IOError`` for a
+    non-TFRecord file, with the same message as the Python path.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ssd_tfrecord_index"):
+        return None
+    size = os.path.getsize(path)
+    cap = size // 16 + 1  # a record is >= 16 bytes, so this always fits
+    offsets = np.empty(cap, np.uint64)
+    lengths = np.empty(cap, np.uint64)
+    bad = ctypes.c_uint64(0)
+    n = lib.ssd_tfrecord_index(
+        path.encode(), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        cap, ctypes.byref(bad))
+    if n == -1:
+        raise IOError(
+            f"{path}: not a TFRecord file (header CRC mismatch at "
+            f"offset {bad.value}). Is the file pattern matching "
+            "non-tfrecord files (e.g. the *-label_map.json / "
+            "*-category_ids.json sidecars)? Use a pattern like "
+            "'<prefix>-*-of-*'."
+        )
+    if n < 0:
+        return None  # IO error — let the Python path produce the message
+    return [(int(offsets[i]), int(lengths[i])) for i in range(n)]

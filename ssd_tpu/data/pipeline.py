@@ -48,7 +48,11 @@ class ShardIndex:
         self._handles: dict[int, object] = {}
         self.entries: list[tuple[int, int, int]] = []  # (file_idx, offset, len)
         for fi, path in enumerate(self.files):
-            for off, length in record_offsets(path):
+            # C++ walker (GIL-free, header-CRC-checked) with Python fallback
+            entries = native.tfrecord_index(path)
+            if entries is None:
+                entries = record_offsets(path)
+            for off, length in entries:
                 self.entries.append((fi, off, length))
 
     def __len__(self) -> int:

@@ -139,3 +139,39 @@ def test_degenerate_boxes_do_not_nan():
     assert np.isfinite(out).all() and out[0, 0] == 0.0
     codes = box_utils.encode(normal, degenerate)
     assert np.isfinite(np.asarray(codes)).all()
+
+
+def test_native_index_matches_python(tmp_path):
+    """C++ tfrecord_index == Python record_offsets on every edge case."""
+    from ssd_tpu.data.tfrecord import record_offsets
+
+    lib = native._load()
+    if lib is None or not hasattr(lib, "ssd_tfrecord_index"):
+        pytest.skip("native lib unavailable")  # pragma: no cover
+
+    p = str(tmp_path / "t.tfrecords")
+    payload = encode_detection_example(
+        b"z" * 77, np.zeros((2, 4), np.float32), np.zeros(2, np.int64))
+    with RecordWriter(p) as w:
+        for _ in range(5):
+            w.write(payload)
+    assert native.tfrecord_index(p) == record_offsets(p)
+
+    # truncated tail: both stop cleanly at the same count
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(data[: len(data) - 9])
+    assert native.tfrecord_index(p) == record_offsets(p)
+
+    # empty file
+    open(p, "wb").close()
+    assert native.tfrecord_index(p) == record_offsets(p) == []
+
+    # non-tfrecord file: same loud error (must exceed one 12-byte header;
+    # anything shorter reads as a clean truncated tail in both walkers)
+    j = str(tmp_path / "train-label_map.json")
+    open(j, "w").write('{"red": 1, "green": 2, "blue": 3}')
+    with pytest.raises(IOError, match="label_map"):
+        native.tfrecord_index(j)
+    with pytest.raises(IOError, match="label_map"):
+        record_offsets(j)
