@@ -182,14 +182,23 @@ def tfrecord_index(path: str) -> list[tuple[int, int]] | None:
     if lib is None or not hasattr(lib, "ssd_tfrecord_index"):
         return None
     size = os.path.getsize(path)
-    cap = size // 16 + 1  # a record is >= 16 bytes, so this always fits
-    offsets = np.empty(cap, np.uint64)
-    lengths = np.empty(cap, np.uint64)
-    bad = ctypes.c_uint64(0)
-    n = lib.ssd_tfrecord_index(
-        path.encode(), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        cap, ctypes.byref(bad))
+    # Start from a typical-record-size guess and grow on -3 (cap too
+    # small) rather than allocating the worst case up front — size//16
+    # entries would cost ~file-size bytes of index for a big shard.
+    hard_cap = size // 16 + 1  # a record is >= 16 bytes: always enough
+    cap = min(max(size // 4096 + 16, 1024), hard_cap)
+    while True:
+        offsets = np.empty(cap, np.uint64)
+        lengths = np.empty(cap, np.uint64)
+        bad = ctypes.c_uint64(0)
+        n = lib.ssd_tfrecord_index(
+            path.encode(),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            cap, ctypes.byref(bad))
+        if n != -3:
+            break
+        cap = min(cap * 4, hard_cap)
     if n == -1:
         raise IOError(
             f"{path}: not a TFRecord file (header CRC mismatch at "
