@@ -109,12 +109,16 @@ class MatcherConfig:
     matching_threshold: float = 0.5
     negative_threshold: float = 0.4
     force_match_for_each_gt: bool = True
-    # Opt-in: run matching as the single-pass Pallas kernel (IoU computed
-    # once for both argmax directions — ops/matching_pallas.py); the jnp
-    # matcher is the default — XLA's fused recompute of the (N, A, M) IoU
-    # inside both reductions is cheaper in the full train step than any
-    # materializing kernel measured so far (BENCHMARKS.md round 3).
-    use_pallas: bool = False
+    # Matching backend: the single-pass Pallas kernel (IoU computed once
+    # for both argmax directions — ops/matching_pallas.py) vs the jnp
+    # matcher (XLA recomputes the (N, A, M) IoU inside both reduction
+    # fusions). The transposed (lane-aligned-output) kernel wins the full
+    # train step on a single chip (+3.6% at b32/640, BENCHMARKS.md round
+    # 3); under a multi-device mesh it is an unpartitioned custom call, so
+    # "auto" (default) enables it only on TPU with ONE device and falls
+    # back to the jnp matcher everywhere else. True forces it on TPU of
+    # any device count; False always uses the jnp matcher.
+    use_pallas: bool | str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

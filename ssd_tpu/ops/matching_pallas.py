@@ -94,8 +94,8 @@ def _match_kernel(nb_ref, anc_ref, g_ref, bg_ref, bi_ref, ba_ref,
     best_iou = jnp.max(iou, axis=0, keepdims=True)                 # (1, blk)
     first = jnp.min(jnp.where(iou == best_iou, sub, m_pad),
                     axis=0, keepdims=True)
-    bg_ref[...] = first.astype(jnp.int32)
-    bi_ref[...] = best_iou
+    bg_ref[0] = first.astype(jnp.int32)
+    bi_ref[0] = best_iou
 
     # per-gt running best anchor; padded anchor lanes can never win
     lane = jax.lax.broadcasted_iota(jnp.int32, (m_pad, blk), 1)
@@ -146,13 +146,16 @@ def _match_core(anchors, gt_boxes, num_boxes, interpret=False):
             pl.BlockSpec((1, m_pad, 4), lambda i, j: (i, 0, 0)),  # gts
         ],
         out_specs=[
-            pl.BlockSpec((1, BLK), lambda i, j: (i, j)),         # best_gt
-            pl.BlockSpec((1, BLK), lambda i, j: (i, j)),         # best_iou
+            # Mosaic requires the block's last-two dims to divide (8, 128)
+            # or equal the array dims; an explicit singleton sublane dim
+            # makes the (1, BLK) row block legal for any batch size.
+            pl.BlockSpec((1, 1, BLK), lambda i, j: (i, 0, j)),   # best_gt
+            pl.BlockSpec((1, 1, BLK), lambda i, j: (i, 0, j)),   # best_iou
             pl.BlockSpec((1, m_pad, 1), lambda i, j: (i, 0, 0)),  # best_anchor
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, a_pad), jnp.int32),
-            jax.ShapeDtypeStruct((n, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, a_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1, a_pad), jnp.float32),
             jax.ShapeDtypeStruct((n, m_pad, 1), jnp.int32),
         ],
         scratch_shapes=[
@@ -162,7 +165,7 @@ def _match_core(anchors, gt_boxes, num_boxes, interpret=False):
         interpret=interpret,
     )(nb, anc, g)
 
-    return (best_gt[:, :a], best_iou[:, :a], best_anchor[:, :m, 0])
+    return (best_gt[:, 0, :a], best_iou[:, 0, :a], best_anchor[:, :m, 0])
 
 
 def match_anchors_pallas(

@@ -51,10 +51,18 @@ def create_targets(
     matcher_cfg: MatcherConfig,
     class_onehot: bool = True,
 ) -> Targets:
-    if getattr(matcher_cfg, "use_pallas", False) and _on_tpu():
-        # opt-in single-pass kernel: IoU computed once for BOTH argmax
-        # directions (ops/matching_pallas.py; see BENCHMARKS.md round 3 —
-        # the jnp matcher's fused recompute wins in the full train step)
+    up = getattr(matcher_cfg, "use_pallas", "auto")
+    if up == "auto":
+        # the kernel is an unpartitioned custom call under GSPMD — only
+        # auto-enable where that cannot cost anything (one device)
+        use_kernel = _on_tpu() and jax.device_count() == 1
+    else:
+        use_kernel = bool(up) and _on_tpu()
+    if use_kernel:
+        # single-pass kernel: IoU computed once for BOTH argmax directions
+        # (ops/matching_pallas.py; BENCHMARKS.md round 3 — the transposed
+        # kernel beats the jnp matcher's fused recompute by ~2 ms/step on
+        # a single chip at b32/640)
         from ssd_tpu.ops.matching_pallas import match_anchors_pallas
         matches = match_anchors_pallas(anchors, gt_boxes, num_boxes,
                                        matcher_cfg)  # (N, A)
