@@ -112,3 +112,28 @@ def test_reg_targets_roundtrip_through_decode(rng):
     pos = np.asarray(t.reg_weights)[0] > 0
     decoded = np.asarray(box_utils.decode(t.reg_targets[0], anchors))[pos]
     np.testing.assert_allclose(decoded, np.tile(gt[0, 0], (pos.sum(), 1)), atol=1e-4)
+
+
+def test_use_pallas_settings_agree_off_tpu(rng):
+    """The matcher backend switch never changes results on CPU.
+
+    "auto" and True both fall back to the jnp matcher off-TPU (the kernel
+    needs Mosaic); all three settings must produce identical targets. The
+    on-TPU kernel-vs-jnp parity is covered by test_matching_pallas.
+    """
+    anchors = rng.uniform(0.0, 1.0, (200, 4)).astype(np.float32)
+    anchors[:, 2:] = anchors[:, :2] + 0.1
+    gt = np.zeros((2, 5, 4), np.float32)
+    gt[0, 0] = [0.1, 0.1, 0.4, 0.4]
+    gt[1, 0] = [0.5, 0.5, 0.9, 0.9]
+    gt[1, 1] = [0.0, 0.0, 0.2, 0.2]
+    labels = np.zeros((2, 5), np.int32)
+    num = np.array([1, 2], np.int32)
+
+    outs = []
+    for up in ("auto", True, False):
+        cfg = MatcherConfig(use_pallas=up)
+        t = create_targets(anchors, gt, labels, num, 3, cfg)
+        outs.append(np.asarray(t.matches))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
