@@ -41,7 +41,8 @@ class AnchorConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    backbone: str = "mobilenet"  # mobilenet | mobilenet_v2 | shufflenet | resnet50
+    backbone: str = "mobilenet"  # mobilenet | mobilenet_v2 | efficientnet_lite
+    #                            # | shufflenet | resnet50
     width_multiplier: float = 1.0  # for mobilenet/shufflenet
     fpn_channels: int = 128
     head_depth: int = 4  # number of 3x3 convs in each subnet

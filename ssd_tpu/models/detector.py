@@ -76,6 +76,11 @@ def build_backbone(cfg: Config) -> nn.Module:
         return MobileNetV2(m.width_multiplier, m.compute_dtype,
                            m.bn_momentum, m.norm, stem_stride,
                            name="backbone")
+    if m.backbone == "efficientnet_lite":
+        from ssd_tpu.models.efficientnet import EfficientNetLite
+        return EfficientNetLite(m.width_multiplier, m.compute_dtype,
+                                m.bn_momentum, m.norm, stem_stride,
+                                name="backbone")
     if m.backbone == "shufflenet":
         return ShuffleNetV2(m.width_multiplier, m.compute_dtype,
                             m.bn_momentum, m.norm, stem_stride,

@@ -41,6 +41,7 @@ class InvertedResidual(nn.Module):
     features: int
     strides: int = 1
     expand: int = 6
+    kernel_size: int = 3  # depthwise kernel (EfficientNet-lite uses 5 too)
     compute_dtype: str = "bfloat16"
     bn_momentum: float = 0.997
     norm: str = "batch"
@@ -54,8 +55,8 @@ class InvertedResidual(nn.Module):
         h = x
         if self.expand != 1:
             h = CB(mid, kernel_size=1, name="expand")(h, train)
-        h = CB(mid, kernel_size=3, strides=self.strides, groups=mid,
-               name="depthwise")(h, train)
+        h = CB(mid, kernel_size=self.kernel_size, strides=self.strides,
+               groups=mid, name="depthwise")(h, train)
         h = CB(self.features, kernel_size=1, act=None, name="project")(h, train)
         if self.strides == 1 and in_ch == self.features:
             h = h + x

@@ -41,7 +41,7 @@ def test_class_prior_bias_init():
 
 @pytest.mark.parametrize("backbone,mult", [
     ("mobilenet", 0.25), ("mobilenet_v2", 0.25), ("shufflenet", 0.5),
-    ("resnet50", 1.0),
+    ("resnet50", 1.0), ("efficientnet_lite", 0.25),
 ])
 def test_all_backbones_forward(backbone, mult):
     cfg = Config(
@@ -220,3 +220,27 @@ def test_int8_rejects_unbounded_backbones():
             SMALL.model, backbone="resnet50", compute_dtype="int8"))
     with pytest.raises(ValueError, match="ReLU6"):
         Detector(cfg).init(jax.random.PRNGKey(0))
+
+
+def test_efficientnet_lite_schedule():
+    """lite0 schedule invariants: tap strides/channels and the 5x5
+    depthwise kernels (stages 2/4/5) that distinguish it from v2."""
+    from ssd_tpu.models.efficientnet import EfficientNetLite
+    m = EfficientNetLite(compute_dtype="float32")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    taps = m.apply(variables, x)
+    assert taps["c3"].shape == (1, 8, 8, 40)
+    assert taps["c4"].shape == (1, 4, 4, 112)
+    assert taps["c5"].shape == (1, 2, 2, 320)
+    kernels = [np.asarray(k).shape for k in
+               jax.tree_util.tree_leaves(variables["params"])
+               if getattr(k, "ndim", 0) == 4]
+    assert any(s[:2] == (5, 5) for s in kernels)   # lite's 5x5 depthwise
+    assert any(s[:2] == (3, 3) for s in kernels)
+    # width multiplier pins the final 320 stage (checkpoint compat with
+    # published lite schedules)
+    m_small = EfficientNetLite(width_multiplier=0.5, compute_dtype="float32")
+    taps_s = m_small.apply(m_small.init(jax.random.PRNGKey(0), x), x)
+    assert taps_s["c5"].shape[-1] == 320
+    assert taps_s["c3"].shape[-1] == 16  # _width(40, 0.5): floor to mult of 8
