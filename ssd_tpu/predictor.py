@@ -171,6 +171,14 @@ class Predictor:
         number of distinct compilations stays logarithmic in serving batch
         variety (one compile per bucket, not per size).
         """
+        return self.predict_collect(self.predict_dispatch(images))
+
+    def predict_dispatch(self, images) -> dict:
+        """First half of ``predict``: preprocess + issue the device call
+        WITHOUT waiting for the result (jax dispatch is async). Returns an
+        opaque handle for ``predict_collect``. Splitting the two lets a
+        serving loop pipeline the device: dispatch batch k+1 while batch k
+        computes, and take result readback off the dispatch thread."""
         if isinstance(images, (list, tuple)):
             single = False
             image_list = [np.asarray(im) for im in images]
@@ -203,6 +211,14 @@ class Predictor:
             )
 
         out = self._fn_for_batch(bucket)(self.variables, jnp.asarray(images))
+        return {"out": out, "n": n, "valid_frac": valid_frac,
+                "single": single}
+
+    def predict_collect(self, handle: dict) -> dict:
+        """Second half of ``predict``: block on the device result from
+        ``predict_dispatch`` and convert to the public numpy contract."""
+        out, n = handle["out"], handle["n"]
+        valid_frac, single = handle["valid_frac"], handle["single"]
         boxes = np.asarray(out.boxes)[:n]
         if valid_frac is not None:
             # map letterboxed coords back to the original image frame

@@ -89,23 +89,41 @@ class ServerStats:
 
 
 class _Dispatcher(threading.Thread):
-    """Single device-owning thread: drains the request queue into batches."""
+    """Single device-owning thread: drains the request queue into batches
+    and ISSUES them without waiting (``Predictor.predict_dispatch``). A
+    bounded in-flight queue (``pipeline_depth``) feeds the collector
+    thread, which blocks on results and resolves futures — so the device
+    computes batch k while batch k+1 is being formed and transferred,
+    and result readback never stalls dispatch."""
 
     def __init__(self, predictor: Predictor, requests: "queue.Queue",
-                 stats: ServerStats, max_batch: int, max_wait_ms: float):
+                 stats: ServerStats, max_batch: int, max_wait_ms: float,
+                 pipeline_depth: int = 2):
         super().__init__(daemon=True, name="ssd-tpu-dispatcher")
         self.predictor = predictor
         self.requests = requests
         self.stats = stats
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        self.in_flight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
+        self.collector = threading.Thread(
+            target=self._collect_loop, daemon=True, name="ssd-tpu-collector")
         # NOTE: threading.Thread uses a private ``_stop`` method internally;
         # the event must not shadow it.
         self._stop_event = threading.Event()
 
+    def start(self) -> None:
+        self.collector.start()
+        super().start()
+
     def stop(self) -> None:
         self._stop_event.set()
-        self.requests.put(None)  # wake the blocking get
+        self.requests.put(None)   # wake the blocking get
+        self.in_flight.put(None)  # wake the collector
+
+    def join(self, timeout=None) -> None:
+        super().join(timeout)
+        self.collector.join(timeout)
 
     def run(self) -> None:
         while not self._stop_event.is_set():
@@ -128,22 +146,42 @@ class _Dispatcher(threading.Thread):
                 if item is None:
                     break
                 batch.append(item)
-            self._run_batch(batch)
+            self._dispatch_batch(batch)
 
-    def _run_batch(self, batch) -> None:
-        images = [im for im, _ in batch]
+    def _dispatch_batch(self, batch) -> None:
         t0 = time.monotonic()
         try:
-            out = self.predictor.predict(images)
+            handle = self.predictor.predict_dispatch([im for im, _ in batch])
         except Exception as exc:  # resolve every future; report via HTTP 500
-            for _, fut in batch:
-                if not fut.done():
-                    fut.set_exception(exc)
+            self._fail(batch, exc)
             return
-        self.stats.record_batch(len(batch), time.monotonic() - t0)
-        for j, (_, fut) in enumerate(batch):
+        # Blocking put = backpressure: at most pipeline_depth batches on
+        # the device; dispatch pauses rather than queueing unbounded work.
+        self.in_flight.put((batch, handle, t0))
+
+    def _collect_loop(self) -> None:
+        while True:
+            item = self.in_flight.get()
+            if item is None:
+                if self._stop_event.is_set():
+                    return
+                continue
+            batch, handle, t0 = item
+            try:
+                out = self.predictor.predict_collect(handle)
+            except Exception as exc:
+                self._fail(batch, exc)
+                continue
+            self.stats.record_batch(len(batch), time.monotonic() - t0)
+            for j, (_, fut) in enumerate(batch):
+                if not fut.done():
+                    fut.set_result({k: v[j] for k, v in out.items()})
+
+    @staticmethod
+    def _fail(batch, exc: Exception) -> None:
+        for _, fut in batch:
             if not fut.done():
-                fut.set_result({k: v[j] for k, v in out.items()})
+                fut.set_exception(exc)
 
 
 def _detections_json(result: dict, score_threshold: float) -> dict:
@@ -231,9 +269,30 @@ class DetectionServer:
                     return float(q["score_threshold"][0])
                 return server.default_score_threshold
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
-        self.httpd.daemon_threads = True
+        class _HTTPServer(ThreadingHTTPServer):
+            daemon_threads = True
+            # Default backlog (5) resets connections under a burst of
+            # concurrent clients; a batching server invites exactly that.
+            request_queue_size = 128
+
+        self.httpd = _HTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
+
+    def warmup(self) -> None:
+        """Pre-compile EVERY batch bucket the dispatcher can form.
+
+        Dynamic batching produces ragged batch sizes; the Predictor pads
+        each to its power-of-two bucket, so any bucket <= max_batch can be
+        hit on the request path. A cold bucket means an XLA compile (tens
+        of seconds; minutes through a remote-compile relay) while requests
+        queue behind the dispatcher — so a production daemon must compile
+        all of them BEFORE accepting traffic. Measured: skipping this took
+        the chip daemon from 478 to 9 req/s (BENCHMARKS.md round 3).
+        """
+        buckets = sorted({self.predictor._bucket_for(n)
+                          for n in range(1, self.dispatcher.max_batch + 1)})
+        for b in buckets:
+            self.predictor.warmup(b)
 
     # ----------------------------------------------------------- request path
 
@@ -295,8 +354,9 @@ def _main() -> None:
     p.add_argument("--letterbox", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel serving over all visible devices")
-    p.add_argument("--warmup-batches", default="1",
-                   help="comma list of batch sizes to pre-compile")
+    p.add_argument("--warmup-batches", default="all",
+                   help="comma list of batch sizes to pre-compile, or "
+                        "'all' (default): every bucket up to --max-batch")
     args = p.parse_args()
 
     predictor = Predictor.from_checkpoint(args.export)
@@ -305,14 +365,16 @@ def _main() -> None:
         predictor = Predictor(predictor.cfg, predictor.variables,
                               predictor.label_map, args.letterbox, mesh=True)
 
-    for b in args.warmup_batches.split(","):
-        if b.strip():
-            predictor.warmup(int(b))
-
     server = DetectionServer(
         predictor, host=args.host, port=args.port, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         default_score_threshold=args.score_threshold)
+    if args.warmup_batches.strip() == "all":
+        server.warmup()
+    else:
+        for b in args.warmup_batches.split(","):
+            if b.strip():
+                predictor.warmup(int(b))
     print(f"serving {server._model_info} on {args.host}:{server.port} "
           f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})",
           flush=True)

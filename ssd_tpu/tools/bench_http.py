@@ -53,13 +53,11 @@ def main() -> None:
         det = Detector(cfg)
         predictor = Predictor(cfg, det.init(jax.random.PRNGKey(0)))
 
-    for b in {1, args.max_batch}:
-        predictor.warmup(b)
-
     server = DetectionServer(predictor, host="127.0.0.1", port=0,
                              max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
                              default_score_threshold=0.3)
+    server.warmup()  # every reachable bucket — no compiles on the hot path
     server.start()
 
     side = args.image_size or predictor.cfg.image_hw()[0]

@@ -182,11 +182,46 @@ def test_stats_reservoir_is_bounded():
     assert snap["batch_latency_ms"]["p50"] == 10.0
 
 
+def test_collect_error_propagates_per_request(server):
+    """Errors in the collect half (readback) must also surface as 500s
+    without killing the collector thread."""
+    orig = server.predictor.predict_collect
+    server.predictor.predict_collect = lambda h: (_ for _ in ()).throw(
+        RuntimeError("collect boom"))
+    try:
+        rng = np.random.default_rng(5)
+        try:
+            _post(server, _jpeg_bytes(rng))
+            status = 200
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 500
+    finally:
+        server.predictor.predict_collect = orig
+    status, _ = _get(server, "/healthz")
+    assert status == 200
+    # and the pipeline still serves real requests
+    status, body = _post(server, _jpeg_bytes(np.random.default_rng(6)))
+    assert status == 200 and "detections" in body
+
+
+def test_warmup_compiles_every_reachable_bucket():
+    """server.warmup() must pre-compile every bucket the dynamic batcher
+    can form (ragged sizes pad to pow2 buckets) — a cold bucket on the
+    request path is an XLA compile while requests queue."""
+    det = Detector(CFG)
+    predictor = Predictor(CFG, det.init(jax.random.PRNGKey(0)))
+    srv = DetectionServer(predictor, host="127.0.0.1", port=0, max_batch=8)
+    srv.warmup()
+    assert set(predictor._jitted) >= {1, 2, 4, 8}
+    srv.httpd.server_close()
+
+
 def test_dispatcher_error_propagates_per_request(server):
     """If predict raises, the waiting request gets a 500, and the server
     keeps serving afterwards."""
-    orig = server.predictor.predict
-    server.predictor.predict = lambda imgs: (_ for _ in ()).throw(
+    orig = server.predictor.predict_dispatch
+    server.predictor.predict_dispatch = lambda imgs: (_ for _ in ()).throw(
         RuntimeError("boom"))
     try:
         rng = np.random.default_rng(4)
@@ -197,7 +232,7 @@ def test_dispatcher_error_propagates_per_request(server):
             status = e.code
         assert status == 500
     finally:
-        server.predictor.predict = orig
+        server.predictor.predict_dispatch = orig
     # still alive
     status, _ = _get(server, "/healthz")
     assert status == 200
