@@ -67,6 +67,19 @@ def iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, EPSILON)
 
 
+def ios(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise intersection-over-smaller-area (a.k.a. overlap coefficient).
+
+    ``(..., N, 4) x (..., M, 4) -> (..., N, M)`` in ``[0, 1]``. A box fully
+    contained in another scores 1.0 regardless of the size ratio — the
+    right merge metric when one detection may be a clipped fragment of
+    another (tiled inference)."""
+    inter = intersection(boxes1, boxes2)
+    area1 = area(boxes1)[..., :, None]
+    area2 = area(boxes2)[..., None, :]
+    return inter / jnp.maximum(jnp.minimum(area1, area2), EPSILON)
+
+
 def to_center_form(boxes: jnp.ndarray) -> jnp.ndarray:
     """``(ymin, xmin, ymax, xmax) -> (cy, cx, h, w)``."""
     ymin, xmin, ymax, xmax = jnp.split(boxes, 4, axis=-1)

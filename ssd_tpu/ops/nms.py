@@ -43,6 +43,7 @@ def greedy_suppression_mask(
     boxes: jnp.ndarray,    # (..., K, 4) sorted by descending score
     valid: jnp.ndarray,    # (..., K) bool — candidate passes score threshold
     iou_threshold: float,
+    metric: str = "iou",
 ) -> jnp.ndarray:
     """Greedy NMS keep-mask over score-sorted candidates.
 
@@ -50,8 +51,13 @@ def greedy_suppression_mask(
     vectorized over all leading dims: step ``i`` computes IoU of pivot ``i``
     against all K candidates in one broadcast, so the loop does K steps of
     O(...*K) work with no K x K buffer.
+
+    ``metric`` selects the overlap measure: ``"iou"`` (standard) or
+    ``"ios"`` (intersection-over-smaller — suppresses contained fragments,
+    used by the tiled-inference merge).
     """
     k = boxes.shape[-2]
+    overlap_fn = {"iou": box_utils.iou, "ios": box_utils.ios}[metric]
 
     def body(i, keep):
         pivot = jax.lax.dynamic_slice_in_dim(boxes, i, 1, axis=-2)  # (..., 1, 4)
@@ -59,7 +65,7 @@ def greedy_suppression_mask(
             jax.lax.dynamic_slice_in_dim(keep, i, 1, axis=-1), axis=-1
         )  # (...,)
         ious = jnp.squeeze(
-            box_utils.iou(pivot, boxes), axis=-2
+            overlap_fn(pivot, boxes), axis=-2
         )  # (..., K)
         later = jnp.arange(k) > i  # (K,)
         suppress = (

@@ -256,7 +256,8 @@ def _main() -> None:
 
     python -m ssd_tpu.predictor --export runs/r1/export \
         --images a.jpg b.jpg [--out dets.json] [--batch-size 8] \
-        [--score-threshold 0.3] [--letterbox] [--mesh]
+        [--score-threshold 0.3] [--letterbox] [--mesh] \
+        [--tiled [--tile-overlap 0.25] [--edge-penalty 0.5]]
     """
     import argparse
     import json
@@ -274,6 +275,11 @@ def _main() -> None:
                    help="preserve aspect ratio (zero-pad) instead of stretch")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all visible devices (DP serving)")
+    p.add_argument("--tiled", action="store_true",
+                   help="native-resolution tiled inference for images far "
+                        "above the model resolution (ssd_tpu.tiling)")
+    p.add_argument("--tile-overlap", type=float, default=0.25)
+    p.add_argument("--edge-penalty", type=float, default=0.5)
     args = p.parse_args()
 
     predictor = Predictor.from_checkpoint(args.export)
@@ -282,30 +288,37 @@ def _main() -> None:
         predictor = Predictor(predictor.cfg, predictor.variables,
                               predictor.label_map, args.letterbox, mesh=True)
 
+    def rows(out, j):
+        keep = [i for i in range(int(out["num_boxes"][j]))
+                if float(out["scores"][j][i]) >= args.score_threshold]
+        return [{
+            "box_yxyx": [round(float(v), 4) for v in out["boxes"][j][i]],
+            "score": round(float(out["scores"][j][i]), 4),
+            "label": int(out["labels"][j][i]),
+            **({"name": str(out["names"][j][i])} if "names" in out else {}),
+        } for i in keep]
+
     results = []
-    for lo in range(0, len(args.images), args.batch_size):
-        chunk = args.images[lo:lo + args.batch_size]
-        # ONE batched predict per chunk: each image is resized/letterboxed
-        # to the model resolution first, so mixed input sizes are fine —
-        # this is the pipelined path the framework is built around, not
-        # RPC-bound single-image latency.
-        imgs = [np.asarray(Image.open(p).convert("RGB")) for p in chunk]
-        out = predictor.predict(imgs)
-        for j, path in enumerate(chunk):
-            keep = [i for i in range(int(out["num_boxes"][j]))
-                    if float(out["scores"][j][i]) >= args.score_threshold]
-            entry = {
-                "image": path,
-                "detections": [{
-                    "box_yxyx": [round(float(v), 4)
-                                 for v in out["boxes"][j][i]],
-                    "score": round(float(out["scores"][j][i]), 4),
-                    "label": int(out["labels"][j][i]),
-                    **({"name": str(out["names"][j][i])}
-                       if "names" in out else {}),
-                } for i in keep],
-            }
-            results.append(entry)
+    if args.tiled:
+        from ssd_tpu.tiling import TiledPredictor
+        tiler = TiledPredictor(predictor, overlap=args.tile_overlap,
+                               edge_penalty=args.edge_penalty)
+        # tiles are the batch axis: one device call per image
+        for path in args.images:
+            out = tiler.predict(np.asarray(Image.open(path).convert("RGB")))
+            out = {k: [v] for k, v in out.items()}  # single-image -> batch-1
+            results.append({"image": path, "detections": rows(out, 0)})
+    else:
+        for lo in range(0, len(args.images), args.batch_size):
+            chunk = args.images[lo:lo + args.batch_size]
+            # ONE batched predict per chunk: each image is resized/
+            # letterboxed to the model resolution first, so mixed input
+            # sizes are fine — this is the pipelined path the framework is
+            # built around, not RPC-bound single-image latency.
+            imgs = [np.asarray(Image.open(p).convert("RGB")) for p in chunk]
+            out = predictor.predict(imgs)
+            for j, path in enumerate(chunk):
+                results.append({"image": path, "detections": rows(out, j)})
 
     text = json.dumps(results, indent=2)
     if args.out:
