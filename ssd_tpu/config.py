@@ -90,6 +90,9 @@ class LossConfig:
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     smooth_l1_delta: float = 1.0
+    # localization loss: smooth_l1 (reference recipe, encoded-delta space)
+    # | giou | diou | ciou (decoded-box geometric losses)
+    box_loss: str = "smooth_l1"
     localization_weight: float = 1.0
     classification_weight: float = 1.0
     weight_decay: float = 1e-4

@@ -182,11 +182,13 @@ class Detector:
         )
         if per_level:
             ld = losses.detection_loss_levels(
-                raw, targets, cfg.num_classes, cfg.losses
+                raw, targets, cfg.num_classes, cfg.losses,
+                anchors=self.anchors,
             )
         else:
             logits, deltas = raw
-            ld = losses.detection_loss(logits, deltas, targets, cfg.losses)
+            ld = losses.detection_loss(logits, deltas, targets, cfg.losses,
+                                       anchors=self.anchors)
         reg = losses.l2_regularization(
             variables["params"], cfg.losses.weight_decay
         )

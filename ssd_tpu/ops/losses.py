@@ -58,11 +58,92 @@ def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
     )
 
 
+_EPS = 1e-8
+
+
+def iou_box_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                 kind: str = "giou") -> jnp.ndarray:
+    """Aligned IoU-family box loss on corner-form boxes.
+
+    ``(..., 4) x (..., 4) -> (...)``; one loss value per box pair (unlike
+    :func:`smooth_l1_loss`'s per-coordinate values). Variants:
+
+      * ``giou`` (Rezatofighi et al. 2019): ``1 - IoU +
+        (C - union)/C`` with C the smallest enclosing box — non-zero
+        gradient even for disjoint boxes; range [0, 2).
+      * ``diou`` (Zheng et al. 2020): ``1 - IoU + d^2/c^2`` — center
+        distance over enclosing-diagonal, converges faster than giou's
+        area term.
+      * ``ciou``: diou + an aspect-ratio consistency term with the
+        standard stop-gradient trade-off weight.
+
+    Elementwise + min/max only, so XLA fuses it into the backward pass
+    like smooth-L1 — the per-level conv-native loss layout is preserved.
+    """
+    py0, px0, py1, px1 = [jnp.squeeze(v, -1) for v in jnp.split(pred, 4, -1)]
+    ty0, tx0, ty1, tx1 = [jnp.squeeze(v, -1) for v in jnp.split(target, 4, -1)]
+
+    ph = jnp.maximum(py1 - py0, 0.0)
+    pw = jnp.maximum(px1 - px0, 0.0)
+    th = jnp.maximum(ty1 - ty0, 0.0)
+    tw = jnp.maximum(tx1 - tx0, 0.0)
+
+    ih = jnp.maximum(jnp.minimum(py1, ty1) - jnp.maximum(py0, ty0), 0.0)
+    iw = jnp.maximum(jnp.minimum(px1, tx1) - jnp.maximum(px0, tx0), 0.0)
+    inter = ih * iw
+    union = ph * pw + th * tw - inter
+    iou = inter / jnp.maximum(union, _EPS)
+
+    # smallest enclosing box
+    eh = jnp.maximum(py1, ty1) - jnp.minimum(py0, ty0)
+    ew = jnp.maximum(px1, tx1) - jnp.minimum(px0, tx0)
+
+    if kind == "giou":
+        c_area = eh * ew
+        return 1.0 - iou + (c_area - union) / jnp.maximum(c_area, _EPS)
+
+    # diou/ciou: squared center distance over squared enclosing diagonal
+    d2 = ((py0 + py1 - ty0 - ty1) ** 2 + (px0 + px1 - tx0 - tx1) ** 2) / 4.0
+    c2 = jnp.maximum(eh * eh + ew * ew, _EPS)
+    diou = 1.0 - iou + d2 / c2
+    if kind == "diou":
+        return diou
+    if kind == "ciou":
+        v = (4.0 / jnp.pi**2) * (
+            jnp.arctan(tw / jnp.maximum(th, _EPS))
+            - jnp.arctan(pw / jnp.maximum(ph, _EPS))
+        ) ** 2
+        alpha = jax.lax.stop_gradient(v / jnp.maximum(1.0 - iou + v, _EPS))
+        return diou + alpha * v
+    raise ValueError(f"unknown iou loss kind: {kind!r}")
+
+
+def _localization_elem(box_deltas, reg_targets, cfg: LossConfig, anchors):
+    """Per-anchor localization loss ``(..., A)`` under ``cfg.box_loss``.
+
+    smooth_l1 operates in ENCODED delta space (the reference recipe);
+    the IoU family decodes both sides against the anchors (encode/decode
+    round-trips exactly, so the decoded target IS the matched gt box) and
+    scores geometric overlap directly.
+    """
+    if cfg.box_loss == "smooth_l1":
+        return jnp.sum(
+            smooth_l1_loss(box_deltas, reg_targets, cfg.smooth_l1_delta),
+            axis=-1)
+    if anchors is None:
+        raise ValueError(f"box_loss={cfg.box_loss!r} needs anchors")
+    from ssd_tpu.ops import box_utils
+    pred = box_utils.decode(box_deltas, anchors)
+    tgt = box_utils.decode(reg_targets, anchors)
+    return iou_box_loss(pred, tgt, cfg.box_loss)
+
+
 def detection_loss(
     class_logits: jnp.ndarray,   # (N, A, C)
     box_deltas: jnp.ndarray,     # (N, A, 4)
     targets: Targets,
     cfg: LossConfig,
+    anchors: jnp.ndarray | None = None,  # (A, 4), for IoU-family box_loss
 ) -> LossDict:
     """Masked, normalized total detection loss for a batch."""
     num_pos = jnp.maximum(jnp.sum(targets.reg_weights), 1.0)
@@ -80,12 +161,10 @@ def detection_loss(
     else:
         cls_loss = jnp.sum(cls_per_anchor) / num_pos
 
-    loc_elem = smooth_l1_loss(
-        box_deltas.astype(jnp.float32), targets.reg_targets, cfg.smooth_l1_delta
-    )  # (N, A, 4)
-    loc_loss = (
-        jnp.sum(jnp.sum(loc_elem, axis=-1) * targets.reg_weights) / num_pos
-    )
+    loc_pa = _localization_elem(
+        box_deltas.astype(jnp.float32), targets.reg_targets, cfg, anchors
+    )  # (N, A)
+    loc_loss = jnp.sum(loc_pa * targets.reg_weights) / num_pos
 
     total = (
         cfg.classification_weight * cls_loss + cfg.localization_weight * loc_loss
@@ -98,6 +177,7 @@ def detection_loss_levels(
     targets: Targets,            # cls_targets may be None (class_onehot=False)
     num_classes: int,
     cfg: LossConfig,
+    anchors: jnp.ndarray | None = None,  # (A, 4), for IoU-family box_loss
 ) -> LossDict:
     """Per-level detection loss in the head's conv-native layout.
 
@@ -163,10 +243,10 @@ def detection_loss_levels(
         cls_sum = cls_sum + jnp.sum(elem * valid)
 
         box_l = box_map.reshape(n, al, 4).astype(jnp.float32)
-        loc_elem = smooth_l1_loss(
-            box_l, targets.reg_targets[:, off:off + al], cfg.smooth_l1_delta
-        )
-        loc_pa.append(jnp.sum(loc_elem, axis=-1))  # (N, Al)
+        loc_pa.append(_localization_elem(
+            box_l, targets.reg_targets[:, off:off + al], cfg,
+            None if anchors is None else anchors[off:off + al],
+        ))  # (N, Al)
         off += al
 
     num_pos = jnp.maximum(jnp.sum(targets.reg_weights), 1.0)

@@ -195,3 +195,112 @@ def test_per_level_loss_matches_flat():
     lo = float(total(Detector(flat_o), variables))
     ll = float(total(Detector(lvl_o), variables))
     np.testing.assert_allclose(lo, ll, rtol=1e-5)
+
+
+# ------------------------------------------------------- IoU-family box loss
+
+def test_iou_box_loss_properties():
+    """Analytic checks for giou/diou/ciou (aligned, corner-form)."""
+    a = jnp.array([[0.2, 0.2, 0.6, 0.6]])
+    same = losses.iou_box_loss(a, a, "giou")
+    np.testing.assert_allclose(np.asarray(same), [0.0], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(losses.iou_box_loss(a, a, "diou")), [0.0], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(losses.iou_box_loss(a, a, "ciou")), [0.0], atol=1e-6)
+
+    # disjoint: iou 0, giou penalty grows with separation, stays < 2
+    near = jnp.array([[0.2, 0.65, 0.6, 0.9]])
+    far = jnp.array([[0.2, 0.9, 0.6, 1.0]])
+    g_near = float(losses.iou_box_loss(a, near, "giou")[0])
+    g_far = float(losses.iou_box_loss(a, far, "giou")[0])
+    assert 1.0 < g_near < g_far < 2.0
+
+    # concentric boxes: diou == giou == 1 - iou (no center/area penalty ...
+    # enclosing box == outer box, center distance 0)
+    outer = jnp.array([[0.1, 0.1, 0.7, 0.7]])
+    g = float(losses.iou_box_loss(outer, a, "giou")[0])
+    d = float(losses.iou_box_loss(outer, a, "diou")[0])
+    iou = (0.4 * 0.4) / (0.6 * 0.6)
+    np.testing.assert_allclose([g, d], [1 - iou, 1 - iou], atol=1e-6)
+
+    # hand-checked diou: unit-separated same-size boxes
+    b1 = jnp.array([[0.0, 0.0, 0.2, 0.2]])
+    b2 = jnp.array([[0.0, 0.4, 0.2, 0.6]])
+    # enclosing box (0,0,0.2,0.6): c2 = 0.04+0.36=0.40; d2 = 0.4^2=0.16
+    np.testing.assert_allclose(
+        float(losses.iou_box_loss(b1, b2, "diou")[0]), 1.0 + 0.16 / 0.40,
+        atol=1e-6)
+
+
+def test_iou_box_loss_gradients_finite_on_degenerates():
+    """Zero-area and coincident boxes must not produce nan/inf grads."""
+    pred = jnp.array([[0.2, 0.2, 0.2, 0.2],   # zero area
+                      [0.1, 0.1, 0.5, 0.5],   # exact match
+                      [0.0, 0.0, 1.0, 1.0]])
+    tgt = jnp.array([[0.2, 0.2, 0.4, 0.4],
+                     [0.1, 0.1, 0.5, 0.5],
+                     [0.0, 0.0, 1.0, 1.0]])
+    for kind in ("giou", "diou", "ciou"):
+        g = jax.grad(lambda p: jnp.sum(losses.iou_box_loss(p, tgt, kind)))(pred)
+        assert np.isfinite(np.asarray(g)).all(), kind
+
+
+def test_giou_per_level_matches_flat():
+    """The per-level layout must stay a pure layout optimization for the
+    IoU-family losses too (values and gradients)."""
+    import dataclasses
+
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.models.detector import Detector
+
+    base = Config(
+        num_classes=3, image_size=64,
+        model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                          fpn_channels=32, head_depth=1,
+                          compute_dtype="float32"),
+    )
+    flat = dataclasses.replace(
+        base, losses=LossConfig(per_level=False, box_loss="giou"))
+    lvl = dataclasses.replace(
+        base, losses=LossConfig(per_level=True, box_loss="giou"))
+
+    rng = np.random.default_rng(1)
+    n, m = 2, 4
+    batch = {
+        "images": rng.integers(0, 255, (n, 64, 64, 3)).astype(np.uint8),
+        "boxes": np.array([[[0.1, 0.1, 0.6, 0.5]] + [[0.0] * 4] * (m - 1),
+                           [[0.3, 0.2, 0.9, 0.8]] + [[0.0] * 4] * (m - 1)],
+                          np.float32),
+        "labels": np.zeros((n, m), np.int32),
+        "num_boxes": np.ones((n,), np.int32),
+    }
+
+    det_flat, det_lvl = Detector(flat), Detector(lvl)
+    variables = det_flat.init(jax.random.PRNGKey(0))
+
+    l_flat, g_flat = jax.value_and_grad(
+        lambda v: det_flat.loss(v, batch, train=False)[0])(variables)
+    l_lvl, g_lvl = jax.value_and_grad(
+        lambda v: det_lvl.loss(v, batch, train=False)[0])(variables)
+    assert float(l_flat) > 0.0
+    np.testing.assert_allclose(float(l_flat), float(l_lvl), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        g_flat, g_lvl,
+    )
+
+
+def test_decoded_target_recovers_gt_box():
+    """encode/decode round-trip: the IoU loss's decoded target IS the
+    matched ground-truth box, so a perfect prediction scores exactly 0."""
+    from ssd_tpu.ops import box_utils
+
+    anchors = jnp.array([[0.1, 0.1, 0.4, 0.5], [0.5, 0.5, 0.9, 0.8]])
+    gt = jnp.array([[0.15, 0.12, 0.45, 0.52], [0.48, 0.55, 0.88, 0.79]])
+    codes = box_utils.encode(gt, anchors)
+    np.testing.assert_allclose(
+        np.asarray(losses.iou_box_loss(box_utils.decode(codes, anchors), gt,
+                                       "giou")),
+        np.zeros(2), atol=1e-5)
