@@ -231,6 +231,9 @@ class DataConfig:
     crop_probability: float = 0.85
     flip_probability: float = 0.5
     color_jitter_probability: float = 0.5
+    # 4-image mosaic composite before the crop/flip/color chain (opt-in;
+    # multiplies object density and small-object exposure per step)
+    mosaic_probability: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -134,3 +134,55 @@ def augment_example(image, boxes, labels, rng, cfg) -> tuple:
     image, boxes = random_flip(image, boxes, rng, cfg.flip_probability)
     image = random_color(image, rng, cfg.color_jitter_probability)
     return image, boxes, labels
+
+
+def mosaic_example(images, boxes_list, labels_list, rng,
+                   out_hw: tuple[int, int]) -> tuple:
+    """4-image mosaic composite (YOLOv4-style, simplified).
+
+    Beyond the reference's augmentation set (SURVEY.md §2 lists SSD crop/
+    flip/color): four images are stretched into the quadrants of a
+    ``(2*H, 2*W)`` canvas split at a jittered center, their boxes remapped
+    into canvas coordinates. Mosaic multiplies object density and small-
+    object exposure per step — the standard modern recipe for dense
+    small-object tasks. The composite then flows through the normal
+    crop/flip/color chain and the final resize, so each train step still
+    sees the static ``(H, W)`` shape.
+
+    Args:
+      images: list of 4 uint8 ``(h_i, w_i, 3)`` images (any sizes).
+      boxes_list / labels_list: per-image normalized boxes + labels.
+      out_hw: the model resolution ``(H, W)`` — canvas is ``(2H, 2W)``.
+
+    Returns:
+      (canvas uint8 (2H, 2W, 3), boxes (K, 4) normalized, labels (K,)).
+    """
+    from ssd_tpu.data import native
+
+    assert len(images) == 4
+    ch, cw = 2 * out_hw[0], 2 * out_hw[1]
+    # split point jittered around the middle: every quadrant keeps a
+    # meaningful share of the canvas
+    cy = int(ch * rng.uniform(0.35, 0.65))
+    cx = int(cw * rng.uniform(0.35, 0.65))
+    rects = [(0, 0, cy, cx), (0, cx, cy, cw),
+             (cy, 0, ch, cx), (cy, cx, ch, cw)]
+    canvas = np.zeros((ch, cw, 3), np.uint8)
+    out_boxes, out_labels = [], []
+    for (y0, x0, y1, x1), img, bxs, lbs in zip(
+            rects, images, boxes_list, labels_list):
+        h, w = y1 - y0, x1 - x0
+        canvas[y0:y1, x0:x1] = native.resize(np.ascontiguousarray(img), h, w)
+        if len(bxs):
+            b = np.asarray(bxs, np.float32).copy()
+            b[:, 0::2] = (y0 + b[:, 0::2] * h) / ch
+            b[:, 1::2] = (x0 + b[:, 1::2] * w) / cw
+            out_boxes.append(b)
+            out_labels.append(np.asarray(lbs))
+    if out_boxes:
+        boxes = np.concatenate(out_boxes, axis=0)
+        labels = np.concatenate(out_labels, axis=0)
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        labels = np.zeros((0,), np.int64)
+    return canvas, boxes, labels

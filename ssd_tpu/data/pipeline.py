@@ -170,19 +170,46 @@ class Pipeline:
             # are identical regardless of thread scheduling.
             import concurrent.futures
 
-            def one(j):
-                d = decoded[j]
-                boxes, labels = d["boxes"], d["labels"]
+            # Mosaic partners are chosen and read serially up front (the
+            # draw rides the same (seed, epoch, id) determinism, so the
+            # stream replays exactly on resume); workers only decode.
+            mosaic_extra = [None] * b
+            if cfg.data.mosaic_probability > 0.0:
+                for j in range(n_real):
+                    mrng = np.random.default_rng(
+                        (self.seed, epoch, int(example_ids[j]), 0x90A51C))
+                    if mrng.random() < cfg.data.mosaic_probability:
+                        ids = self._local[
+                            mrng.integers(0, len(self._local), 3)]
+                        mosaic_extra[j] = [
+                            decode_detection_record(self.index.read(int(i)))
+                            for i in ids]
+
+            def _clean(d):
                 # crowd annotations never become training targets (the
                 # reference drops them at dataset creation; we keep them
                 # in the records for eval-time ignore regions)
                 keep = d["is_crowd"] == 0
-                if not keep.all():
-                    boxes, labels = boxes[keep], labels[keep]
+                if keep.all():
+                    return d["boxes"], d["labels"]
+                return d["boxes"][keep], d["labels"][keep]
+
+            def one(j):
+                d = decoded[j]
+                boxes, labels = _clean(d)
                 img = native.decode_jpeg(d["jpeg"])
                 rng = np.random.default_rng(
                     (self.seed, epoch, int(example_ids[j]))
                 )
+                if mosaic_extra[j] is not None:
+                    from ssd_tpu.data.augment import mosaic_example
+                    parts = [(img, boxes, labels)]
+                    for ex in mosaic_extra[j]:
+                        eb, el = _clean(ex)
+                        parts.append((native.decode_jpeg(ex["jpeg"]), eb, el))
+                    img, boxes, labels = mosaic_example(
+                        [p[0] for p in parts], [p[1] for p in parts],
+                        [p[2] for p in parts], rng, (ih, iw))
                 img, boxes, labels = augment_example(
                     img, boxes, labels, rng, cfg.data
                 )

@@ -323,3 +323,74 @@ def test_pipeline_crowd_flags(tmp_path):
                                     batch_size=4)))
     np.testing.assert_array_equal(eval_batch["num_boxes"], [2, 2, 2, 2])
     np.testing.assert_array_equal(eval_batch["is_crowd"][0, :2], [False, True])
+
+
+# ----------------------------------------------------------------- mosaic
+
+def test_mosaic_example_geometry():
+    """Quadrant placement + box remapping: solid-color source images with
+    one full-frame box each must land in their quadrant exactly."""
+    from ssd_tpu.data.augment import mosaic_example
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    images = [np.full((40 + 8 * i, 50, 3), c, np.uint8)
+              for i, c in enumerate(colors)]
+    boxes = [np.array([[0.0, 0.0, 1.0, 1.0]], np.float32)] * 4
+    labels = [np.array([i]) for i in range(4)]
+    rng = np.random.default_rng(3)
+    canvas, out_boxes, out_labels = mosaic_example(
+        images, boxes, labels, rng, (64, 64))
+    assert canvas.shape == (128, 128, 3)
+    assert out_boxes.shape == (4, 4)
+    assert sorted(out_labels.tolist()) == [0, 1, 2, 3]
+    # each full-frame box = its quadrant; quadrants tile the canvas exactly
+    for b, lab in zip(out_boxes, out_labels):
+        y0, x0, y1, x1 = (b * 128).round().astype(int)
+        region = canvas[y0 + 2:y1 - 2, x0 + 2:x1 - 2]  # inset for jpeg-free exactness
+        expected = np.array(colors[int(lab)])
+        assert np.abs(region.astype(int) - expected).max() <= 30, lab
+    # coverage: the four boxes partition [0,1]^2 (areas sum to 1)
+    areas = ((out_boxes[:, 2] - out_boxes[:, 0])
+             * (out_boxes[:, 3] - out_boxes[:, 1]))
+    np.testing.assert_allclose(areas.sum(), 1.0, atol=0.02)
+
+
+def test_mosaic_example_empty_boxes():
+    from ssd_tpu.data.augment import mosaic_example
+
+    images = [np.zeros((32, 32, 3), np.uint8)] * 4
+    empty = np.zeros((0, 4), np.float32)
+    canvas, b, l = mosaic_example(
+        images, [empty] * 4, [np.zeros((0,), np.int64)] * 4,
+        np.random.default_rng(0), (64, 64))
+    assert b.shape == (0, 4) and l.shape == (0,)
+
+
+def test_pipeline_mosaic_determinism_and_density(tmp_path, rng):
+    """mosaic_probability=1: every example composes 4 records (box count
+    grows), the stream stays deterministic, and shapes hold."""
+    import dataclasses
+
+    p = write_dataset(str(tmp_path / "t.tfrecords"), rng, 12)
+    cfg = _small_cfg()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(
+            cfg.data, mosaic_probability=1.0, crop_probability=0.0))
+
+    pipe1 = Pipeline(p, cfg, is_training=True, batch_size=4, seed=5)
+    b1 = next(iter(pipe1))
+    pipe2 = Pipeline(p, cfg, is_training=True, batch_size=4, seed=5)
+    b2 = next(iter(pipe2))
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    np.testing.assert_array_equal(b1["boxes"], b2["boxes"])
+    np.testing.assert_array_equal(b1["num_boxes"], b2["num_boxes"])
+    # 4 source records of 1-2 boxes each: every mosaic has >= 4 boxes
+    assert (b1["num_boxes"] >= 4).all()
+    assert b1["images"].shape == (4, 64, 64, 3)
+    # boxes stay normalized
+    assert (b1["boxes"] >= 0).all() and (b1["boxes"] <= 1).all()
+
+    # off by default: plain pipeline unaffected (same seed, no mosaic)
+    plain = next(iter(Pipeline(p, _small_cfg(), is_training=True,
+                               batch_size=4, seed=5)))
+    assert (plain["num_boxes"] <= 2).all()
