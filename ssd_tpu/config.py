@@ -218,6 +218,16 @@ class TrainConfig:
     #                  memory ~1/data-axis. Composes with channel-TP
     #                  (different axes). See parallel/mesh.fsdp_sharded.
     param_sharding: str = "replicated"
+    # Multi-scale training: cycle the TRAIN resolution through these square
+    # sizes every `multiscale_every` steps (empty = off; include the base
+    # image_size if it should be part of the cycle). Each size is one
+    # compiled step program sharing the same parameters (convs are
+    # resolution-agnostic; anchors are per-size trace constants). The
+    # schedule is a pure function of the batch ordinal, so the stream —
+    # including scales — replays exactly on resume. Eval/serving keep
+    # the base image_size.
+    multiscale: Sequence[int] = ()
+    multiscale_every: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -145,9 +145,22 @@ class Pipeline:
 
     # ------------------------------------------------------------ build
 
-    def _make_batch(self, example_ids: np.ndarray, epoch: int) -> dict:
+    def _scale_for(self, ordinal: int) -> tuple[int, int]:
+        """Train resolution for the batch with this global ordinal.
+
+        Pure function of the ordinal (epoch * batches_per_epoch + position),
+        so the multi-scale schedule replays exactly on resume and is safe
+        to evaluate inside the prefetch thread."""
+        ms = self.cfg.train.multiscale
+        if not self.is_training or not ms:
+            return self.cfg.image_hw()
+        s = ms[(ordinal // max(self.cfg.train.multiscale_every, 1)) % len(ms)]
+        return (s, s)
+
+    def _make_batch(self, example_ids: np.ndarray, epoch: int,
+                    image_hw: tuple[int, int] | None = None) -> dict:
         cfg = self.cfg
-        ih, iw = cfg.image_hw()
+        ih, iw = image_hw or cfg.image_hw()
         m = cfg.data.max_gt_boxes
         # Eval pads short (tail) batches to the static batch size; ``valid``
         # marks the real rows. Training ids always fill the batch.
@@ -289,7 +302,9 @@ class Pipeline:
                 # advance BEFORE yielding: a handed-out batch counts as
                 # consumed, so checkpointed state never replays it
                 self.position = pos + 1
-                yield self._make_batch(ids, self.epoch)
+                yield self._make_batch(
+                    ids, self.epoch,
+                    image_hw=self._scale_for(self.epoch * nb + pos))
             if not self.is_training:
                 return
             self.epoch += 1

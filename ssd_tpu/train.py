@@ -216,11 +216,25 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         raise ValueError(
             f"unknown train.param_sharding: {cfg.train.param_sharding!r}")
     state = jax.device_put(state, state_shardings)
-    step_fn = jit_train_step(
-        make_train_step(detector, tx, cfg.train.ema_decay,
-                        cfg.train.grad_accum_steps),
-        mesh, state_shardings if cfg.train.param_sharding != "replicated"
-        else None)
+    def _build_step(det):
+        return jit_train_step(
+            make_train_step(det, tx, cfg.train.ema_decay,
+                            cfg.train.grad_accum_steps),
+            mesh, state_shardings if cfg.train.param_sharding != "replicated"
+            else None)
+
+    # Multi-scale: one compiled step per train resolution, all sharing the
+    # same TrainState (convs are resolution-agnostic; only the anchor
+    # constants differ). Batch shape selects the program.
+    step_fns = {tuple(cfg.image_hw()): _build_step(detector)}
+
+    def step_fn_for(batch):
+        hw = tuple(int(v) for v in batch["images"].shape[1:3])
+        if hw not in step_fns:
+            import dataclasses as _dc
+            step_fns[hw] = _build_step(Detector(
+                _dc.replace(cfg, image_size=list(hw))))
+        return step_fns[hw]
 
     # ----- preemption handler --------------------------------------------
     preempted = {"flag": False}
@@ -257,7 +271,8 @@ def train(cfg: Config, workdir: str, resume: bool = True,
                       f"{prof_dir}", flush=True)
             batch = next(data_iter)
             logger.tick_data()
-            state, metrics = step_fn(state, shard_batch(mesh, batch))
+            state, metrics = step_fn_for(batch)(
+                state, shard_batch(mesh, batch))
             step += 1
             logger.tick_step()
             if profiling and step >= profile_start + profile_steps:
