@@ -280,7 +280,12 @@ def _main() -> None:
                         "above the model resolution (ssd_tpu.tiling)")
     p.add_argument("--tile-overlap", type=float, default=0.25)
     p.add_argument("--edge-penalty", type=float, default=0.5)
+    p.add_argument("--tta", action="store_true",
+                   help="flip test-time augmentation with weighted box "
+                        "fusion (ssd_tpu.tta)")
     args = p.parse_args()
+    if args.tta and args.tiled:
+        p.error("--tta and --tiled are mutually exclusive")
 
     predictor = Predictor.from_checkpoint(args.export)
     predictor.preserve_aspect = args.letterbox
@@ -297,6 +302,10 @@ def _main() -> None:
             "label": int(out["labels"][j][i]),
             **({"name": str(out["names"][j][i])} if "names" in out else {}),
         } for i in keep]
+
+    if args.tta:
+        from ssd_tpu.tta import TTAPredictor
+        predictor = TTAPredictor(predictor)
 
     results = []
     if args.tiled:
