@@ -31,6 +31,9 @@ def main() -> None:
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                    help="config overrides for this eval only, e.g. "
                         "nms.method=soft_gaussian nms.score_threshold=0.01")
+    p.add_argument("--tta", action="store_true",
+                   help="flip test-time augmentation: fuse base+flipped "
+                        "views per image with weighted box fusion")
     args = p.parse_args()
 
     import jax
@@ -98,10 +101,24 @@ def main() -> None:
         if args.limit is not None and i >= args.limit:
             break
         out = predict(variables, batch["images"])
+        out = {"boxes": np.asarray(out.boxes),
+               "scores": np.asarray(out.scores),
+               "labels": np.asarray(out.labels),
+               "num_boxes": np.asarray(out.num_boxes)}
+        if args.tta:
+            # same compiled program: the flipped batch has the same shape
+            from ssd_tpu.tta import fuse_flip_batch
+            out_f = predict(variables,
+                            np.ascontiguousarray(batch["images"][:, :, ::-1]))
+            out = fuse_flip_batch(
+                out,
+                {"boxes": np.asarray(out_f.boxes),
+                 "scores": np.asarray(out_f.scores),
+                 "labels": np.asarray(out_f.labels),
+                 "num_boxes": np.asarray(out_f.num_boxes)},
+                cfg.nms.iou_threshold, cfg.nms.max_boxes)
         evaluator.add_batch(
-            {"boxes": np.asarray(out.boxes), "scores": np.asarray(out.scores),
-             "labels": np.asarray(out.labels),
-             "num_boxes": np.asarray(out.num_boxes)},
+            out,
             batch["boxes"], batch["labels"], batch["num_boxes"],
             valid=batch.get("valid"),
             gt_is_crowd=batch.get("is_crowd"),
@@ -112,11 +129,7 @@ def main() -> None:
             else len(batch["images"])
         if coco_results is not None:
             coco_results.extend(detections_to_coco(
-                {"boxes": np.asarray(out.boxes),
-                 "scores": np.asarray(out.scores),
-                 "labels": np.asarray(out.labels),
-                 "num_boxes": np.asarray(out.num_boxes)},
-                batch["source_ids"], batch["orig_hw"], valid=valid,
+                out, batch["source_ids"], batch["orig_hw"], valid=valid,
                 category_ids=category_ids))
 
     if coco_results is not None:

@@ -22,6 +22,53 @@ from ssd_tpu.ops.wbf import weighted_box_fusion
 from ssd_tpu.tiling import _merge_nms
 
 
+def unflip_boxes(boxes: np.ndarray) -> np.ndarray:
+    """Map boxes detected on a horizontally-flipped frame back:
+    x' = 1 - x, swapping xmin/xmax. (..., 4) yxyx."""
+    out = np.asarray(boxes).copy()
+    out[..., [1, 3]] = 1.0 - out[..., [3, 1]]
+    return out
+
+
+def fuse_views(boxes, scores, labels, iou_threshold: float, max_boxes: int,
+               merge: str = "wbf", num_views: int = 2):
+    """Fuse one image's flat candidate set from ``num_views`` views.
+
+    boxes (K, 4) already in the ORIGINAL frame, scores (K,) with invalid
+    slots <= 0, labels (K,). Returns (boxes, scores, labels, count) numpy.
+    """
+    args = (jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32),
+            jnp.asarray(labels, jnp.int32), jnp.float32(iou_threshold),
+            jnp.zeros((max_boxes,), jnp.float32))
+    if merge == "wbf":
+        b, s, l, c = weighted_box_fusion(*args, num_views=num_views)
+    else:
+        b, s, l, c = _merge_nms(*args, metric="iou")
+    return np.asarray(b), np.asarray(s), np.asarray(l), int(c)
+
+
+def fuse_flip_batch(out, out_flipped, iou_threshold: float, max_boxes: int,
+                    merge: str = "wbf") -> dict:
+    """Batched flip-TTA fusion: ``out`` and ``out_flipped`` are detection
+    dicts (numpy, (N, M, ...)) from the base and horizontally-flipped
+    views; flipped boxes are mapped back and each image's views fused."""
+    n = len(out["boxes"])
+    flip_boxes = unflip_boxes(out_flipped["boxes"])
+    res = {"boxes": [], "scores": [], "labels": [], "num_boxes": []}
+    for i in range(n):
+        b, s, l, c = fuse_views(
+            np.concatenate([out["boxes"][i], flip_boxes[i]], axis=0),
+            np.concatenate([out["scores"][i], out_flipped["scores"][i]]),
+            np.concatenate([out["labels"][i], out_flipped["labels"][i]]),
+            iou_threshold, max_boxes, merge=merge)
+        res["boxes"].append(b)
+        res["scores"].append(s)
+        res["labels"].append(l)
+        res["num_boxes"].append(c)
+    return {k: (np.stack(v) if k != "num_boxes" else np.asarray(v))
+            for k, v in res.items()}
+
+
 class TTAPredictor:
     """``predict(image | images | [images])`` with flip TTA.
 
@@ -62,40 +109,12 @@ class TTAPredictor:
         flipped = [im[:, ::-1] for im in image_list]
         out = self.predictor.predict(image_list + flipped)
 
-        results = {"boxes": [], "scores": [], "labels": [], "num_boxes": []}
-        for i in range(n):
-            base_b = np.asarray(out["boxes"][i])
-            flip_b = np.asarray(out["boxes"][n + i]).copy()
-            # unflip: x' = 1 - x, swapping xmin/xmax
-            flip_b[:, [1, 3]] = 1.0 - flip_b[:, [3, 1]]
-            boxes = np.concatenate([base_b, flip_b], axis=0)
-            scores = np.concatenate([np.asarray(out["scores"][i]),
-                                     np.asarray(out["scores"][n + i])])
-            labels = np.concatenate([np.asarray(out["labels"][i]),
-                                     np.asarray(out["labels"][n + i])])
-            if self.merge == "wbf":
-                b, s, l, c = weighted_box_fusion(
-                    jnp.asarray(boxes, jnp.float32),
-                    jnp.asarray(scores, jnp.float32),
-                    jnp.asarray(labels, jnp.int32),
-                    jnp.float32(self.iou_threshold),
-                    jnp.zeros((self.max_boxes,), jnp.float32),
-                    num_views=2)
-            else:
-                b, s, l, c = _merge_nms(
-                    jnp.asarray(boxes, jnp.float32),
-                    jnp.asarray(scores, jnp.float32),
-                    jnp.asarray(labels, jnp.int32),
-                    jnp.float32(self.iou_threshold),
-                    jnp.zeros((self.max_boxes,), jnp.float32),
-                    metric="iou")
-            results["boxes"].append(np.asarray(b))
-            results["scores"].append(np.asarray(s))
-            results["labels"].append(np.asarray(l))
-            results["num_boxes"].append(int(c))
-
-        result = {k: np.stack(v) if k != "num_boxes" else np.asarray(v)
-                  for k, v in results.items()}
+        base = {k: np.asarray(v)[:n] for k, v in out.items()
+                if k != "names"}
+        flip = {k: np.asarray(v)[n:] for k, v in out.items()
+                if k != "names"}
+        result = fuse_flip_batch(base, flip, self.iou_threshold,
+                                 self.max_boxes, merge=self.merge)
         if self.label_map is not None:
             result["names"] = np.array([
                 [self.label_map.get(int(x), str(int(x))) for x in row]
