@@ -147,6 +147,17 @@ class _Dispatcher(threading.Thread):
                     break
                 batch.append(item)
             self._dispatch_batch(batch)
+        # Graceful shutdown: dispatched batches still drain through the
+        # collector (the stop sentinel is FIFO-behind them), but queued,
+        # never-dispatched requests must fail fast instead of hanging
+        # their handler threads until the request timeout.
+        while True:
+            try:
+                item = self.requests.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                self._fail([item], RuntimeError("server shutting down"))
 
     def _dispatch_batch(self, batch) -> None:
         t0 = time.monotonic()

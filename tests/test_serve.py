@@ -205,6 +205,27 @@ def test_collect_error_propagates_per_request(server):
     assert status == 200 and "detections" in body
 
 
+def test_stop_fails_queued_requests_fast():
+    """Undispatched queued requests must resolve (with an error) on stop,
+    not hang their handler threads until the request timeout."""
+    from concurrent.futures import Future
+
+    from ssd_tpu.serve import _Dispatcher
+    import queue as queue_mod
+
+    q = queue_mod.Queue()
+    d = _Dispatcher(predictor=None, requests=q, stats=ServerStats(),
+                    max_batch=4, max_wait_ms=1.0)
+    fut = Future()
+    d.start()
+    d.stop()
+    q.put((np.zeros((4, 4, 3), np.uint8), fut))  # lands after stop
+    d.join(timeout=5)
+    # the dispatcher drained the queue on exit and failed the future
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=5)
+
+
 def test_warmup_compiles_every_reachable_bucket():
     """server.warmup() must pre-compile every bucket the dynamic batcher
     can form (ragged sizes pad to pow2 buckets) — a cold bucket on the
