@@ -69,6 +69,78 @@ def fuse_flip_batch(out, out_flipped, iou_threshold: float, max_boxes: int,
             for k, v in res.items()}
 
 
+class EnsemblePredictor:
+    """Fuse detections from SEVERAL models (e.g. different backbones or
+    training seeds) with weighted box fusion — the standard production
+    mAP squeeze. Each member is a full ``Predictor``; every member sees
+    the same batch (its own compiled program, its own resolution if
+    configs differ — members resize independently), and per image the
+    union of detections is WBF-fused with the cross-model coverage
+    adjustment (a box only one model found is down-weighted).
+
+    ``weights`` (optional) scale each member's scores before fusion —
+    the paper's per-model confidence weighting.
+    """
+
+    def __init__(self, predictors, weights=None, merge: str = "wbf",
+                 iou_threshold: float | None = None,
+                 max_boxes: int | None = None):
+        if not predictors:
+            raise ValueError("need at least one predictor")
+        if weights is not None and len(weights) != len(predictors):
+            raise ValueError("one weight per predictor")
+        if merge not in ("wbf", "nms"):
+            raise ValueError(f"merge must be wbf|nms, got {merge}")
+        self.predictors = list(predictors)
+        self.weights = ([1.0] * len(predictors) if weights is None
+                        else [float(w) for w in weights])
+        self.cfg = self.predictors[0].cfg
+        self.merge = merge
+        self.iou_threshold = float(iou_threshold
+                                   if iou_threshold is not None
+                                   else self.cfg.nms.iou_threshold)
+        self.max_boxes = int(max_boxes or self.cfg.nms.max_boxes)
+        self.label_map = getattr(self.predictors[0], "label_map", None)
+
+    def predict(self, images) -> dict:
+        if isinstance(images, (list, tuple)):
+            single = False
+            image_list = [np.asarray(im) for im in images]
+        else:
+            images = np.asarray(images)
+            single = images.ndim == 3
+            image_list = [images] if single else list(images)
+        n = len(image_list)
+
+        outs = [p.predict(image_list) for p in self.predictors]
+        res = {"boxes": [], "scores": [], "labels": [], "num_boxes": []}
+        for i in range(n):
+            boxes = np.concatenate(
+                [np.asarray(o["boxes"][i]) for o in outs], axis=0)
+            scores = np.concatenate(
+                [np.asarray(o["scores"][i]) * w
+                 for o, w in zip(outs, self.weights)])
+            labels = np.concatenate(
+                [np.asarray(o["labels"][i]) for o in outs])
+            b, s, l, c = fuse_views(boxes, scores, labels,
+                                    self.iou_threshold, self.max_boxes,
+                                    merge=self.merge,
+                                    num_views=len(self.predictors))
+            res["boxes"].append(b)
+            res["scores"].append(s)
+            res["labels"].append(l)
+            res["num_boxes"].append(c)
+        result = {k: (np.stack(v) if k != "num_boxes" else np.asarray(v))
+                  for k, v in res.items()}
+        if self.label_map is not None:
+            result["names"] = np.array([
+                [self.label_map.get(int(x), str(int(x))) for x in row]
+                for row in result["labels"]])
+        if single:
+            result = {k: v[0] for k, v in result.items()}
+        return result
+
+
 class TTAPredictor:
     """``predict(image | images | [images])`` with flip TTA.
 

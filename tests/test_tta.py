@@ -172,3 +172,73 @@ def test_tta_real_predictor_contract_and_batches():
 def test_tta_merge_validation():
     with pytest.raises(ValueError, match="merge"):
         TTAPredictor(SymmetricFakePredictor(CFG), merge="bogus")
+
+
+# ------------------------------------------------------------- ensemble
+
+def test_ensemble_agreeing_models_fuse():
+    from ssd_tpu.tta import EnsemblePredictor
+
+    e = EnsemblePredictor([SymmetricFakePredictor(CFG),
+                           SymmetricFakePredictor(CFG)])
+    res = e.predict(np.zeros((64, 64, 3), np.uint8))
+    assert res["num_boxes"] == 1
+    np.testing.assert_allclose(res["boxes"][0], [0.25, 0.30, 0.75, 0.70],
+                               atol=1e-6)
+    np.testing.assert_allclose(res["scores"][0], 0.9, atol=1e-6)
+
+
+def test_ensemble_single_model_box_downweighted():
+    from ssd_tpu.tta import EnsemblePredictor
+
+    class Silent(SymmetricFakePredictor):
+        def predict(self, images):
+            out = super().predict(images)
+            out["scores"][:] = 0.0
+            out["labels"][:] = -1
+            out["num_boxes"][:] = 0
+            return out
+
+    e = EnsemblePredictor([SymmetricFakePredictor(CFG), Silent(CFG)])
+    res = e.predict(np.zeros((64, 64, 3), np.uint8))
+    assert res["num_boxes"] == 1
+    np.testing.assert_allclose(res["scores"][0], 0.45, atol=1e-6)  # 1/2
+
+
+def test_ensemble_weights_scale_scores():
+    from ssd_tpu.tta import EnsemblePredictor
+
+    e = EnsemblePredictor([SymmetricFakePredictor(CFG),
+                           SymmetricFakePredictor(CFG)],
+                          weights=[1.0, 0.5])
+    res = e.predict(np.zeros((64, 64, 3), np.uint8))
+    # member scores 0.9 and 0.45 -> mean 0.675, full coverage
+    np.testing.assert_allclose(res["scores"][0], 0.675, atol=1e-6)
+
+
+def test_ensemble_validation():
+    from ssd_tpu.tta import EnsemblePredictor
+
+    with pytest.raises(ValueError, match="at least one"):
+        EnsemblePredictor([])
+    with pytest.raises(ValueError, match="one weight"):
+        EnsemblePredictor([SymmetricFakePredictor(CFG)], weights=[1, 2])
+
+
+def test_ensemble_real_predictors_mixed_backbones():
+    """Two real predictors with different configs (resolutions) behind one
+    ensemble — members resize independently."""
+    import dataclasses
+
+    from ssd_tpu.models.detector import Detector
+    from ssd_tpu.predictor import Predictor
+    from ssd_tpu.tta import EnsemblePredictor
+
+    cfg2 = dataclasses.replace(CFG, image_size=96)
+    p1 = Predictor(CFG, Detector(CFG).init(jax.random.PRNGKey(0)))
+    p2 = Predictor(cfg2, Detector(cfg2).init(jax.random.PRNGKey(1)))
+    e = EnsemblePredictor([p1, p2], max_boxes=16)
+    res = e.predict(np.random.default_rng(0).integers(
+        0, 255, (2, 80, 70, 3)).astype(np.uint8))
+    assert res["boxes"].shape == (2, 16, 4)
+    assert res["num_boxes"].shape == (2,)
