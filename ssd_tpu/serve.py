@@ -368,6 +368,9 @@ def _main() -> None:
     p.add_argument("--warmup-batches", default="all",
                    help="comma list of batch sizes to pre-compile, or "
                         "'all' (default): every bucket up to --max-batch")
+    p.add_argument("--tta", action="store_true",
+                   help="serve with flip TTA + weighted box fusion (2x "
+                        "device cost per request, tighter boxes)")
     args = p.parse_args()
 
     predictor = Predictor.from_checkpoint(args.export)
@@ -375,6 +378,9 @@ def _main() -> None:
     if args.mesh:
         predictor = Predictor(predictor.cfg, predictor.variables,
                               predictor.label_map, args.letterbox, mesh=True)
+    if args.tta:
+        from ssd_tpu.tta import TTAPredictor
+        predictor = TTAPredictor(predictor)
 
     server = DetectionServer(
         predictor, host=args.host, port=args.port, max_batch=args.max_batch,

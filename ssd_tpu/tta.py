@@ -167,7 +167,26 @@ class TTAPredictor:
         self.max_boxes = int(max_boxes or self.cfg.nms.max_boxes)
         self.label_map = getattr(predictor, "label_map", None)
 
+    # --- serving-daemon surface (mirrors Predictor's) -------------------
+    @property
+    def preserve_aspect(self) -> bool:
+        return getattr(self.predictor, "preserve_aspect", False)
+
+    def _bucket_for(self, n: int) -> int:
+        # the device sees 2n images (base + flip views)
+        return self.predictor._bucket_for(2 * n)
+
+    def warmup(self, batch_size: int = 1) -> None:
+        self.predictor.warmup(2 * batch_size)
+
     def predict(self, images) -> dict:
+        return self.predict_collect(self.predict_dispatch(images))
+
+    # The dispatch/collect split mirrors Predictor's, so the serving
+    # daemon's device pipeline works through TTA unchanged: dispatch
+    # issues the doubled-view device call without blocking, collect does
+    # the readback + fusion.
+    def predict_dispatch(self, images) -> dict:
         if isinstance(images, (list, tuple)):
             single = False
             image_list = [np.asarray(im) for im in images]
@@ -175,12 +194,20 @@ class TTAPredictor:
             images = np.asarray(images)
             single = images.ndim == 3
             image_list = [images] if single else list(images)
-        n = len(image_list)
-
         # ONE device call: [img_0..img_{n-1}, flip_0..flip_{n-1}]
         flipped = [im[:, ::-1] for im in image_list]
-        out = self.predictor.predict(image_list + flipped)
+        views = image_list + flipped
+        if hasattr(self.predictor, "predict_dispatch"):
+            handle = self.predictor.predict_dispatch(views)
+        else:  # duck-typed member without the split API: block here
+            handle = {"done": self.predictor.predict(views)}
+        return {"inner": handle, "n": len(image_list), "single": single}
 
+    def predict_collect(self, handle: dict) -> dict:
+        inner = handle["inner"]
+        out = (inner["done"] if "done" in inner
+               else self.predictor.predict_collect(inner))
+        n, single = handle["n"], handle["single"]
         base = {k: np.asarray(v)[:n] for k, v in out.items()
                 if k != "names"}
         flip = {k: np.asarray(v)[n:] for k, v in out.items()

@@ -205,6 +205,28 @@ def test_collect_error_propagates_per_request(server):
     assert status == 200 and "detections" in body
 
 
+def test_daemon_serves_tta_predictor():
+    """The daemon's pipeline (dispatch/collect, warmup, stats) must work
+    through a TTAPredictor — requests return fused detections."""
+    from ssd_tpu.tta import TTAPredictor
+
+    det = Detector(CFG)
+    inner = Predictor(CFG, det.init(jax.random.PRNGKey(0)))
+    srv = DetectionServer(TTAPredictor(inner), host="127.0.0.1", port=0,
+                          max_batch=4, max_wait_ms=10.0,
+                          default_score_threshold=0.0)
+    srv.warmup()
+    assert 8 in inner._jitted  # 4-request batch -> 8 device images
+    srv.start()
+    try:
+        rng = np.random.default_rng(9)
+        status, body = _post(srv, _jpeg_bytes(rng))
+        assert status == 200 and "detections" in body
+        assert srv.stats.images == 1
+    finally:
+        srv.stop()
+
+
 def test_stop_fails_queued_requests_fast():
     """Undispatched queued requests must resolve (with an error) on stop,
     not hang their handler threads until the request timeout."""
