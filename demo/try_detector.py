@@ -48,6 +48,9 @@ def main() -> None:
     p.add_argument("--selftest", action="store_true")
     args = p.parse_args()
 
+    from ssd_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from ssd_tpu.predictor import Predictor
 
     if args.export:

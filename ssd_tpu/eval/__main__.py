@@ -36,6 +36,9 @@ def main() -> None:
                         "views per image with weighted box fusion")
     args = p.parse_args()
 
+    from ssd_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
 
     from ssd_tpu.data.pipeline import Pipeline

@@ -287,6 +287,8 @@ def _main() -> None:
     if args.tta and args.tiled:
         p.error("--tta and --tiled are mutually exclusive")
 
+    from ssd_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     predictor = Predictor.from_checkpoint(args.export)
     predictor.preserve_aspect = args.letterbox
     if args.mesh:

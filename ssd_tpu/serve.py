@@ -373,6 +373,8 @@ def _main() -> None:
                         "device cost per request, tighter boxes)")
     args = p.parse_args()
 
+    from ssd_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     predictor = Predictor.from_checkpoint(args.export)
     predictor.preserve_aspect = args.letterbox
     if args.mesh:

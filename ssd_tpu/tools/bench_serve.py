@@ -37,6 +37,9 @@ def main() -> None:
                    help="capture an XProf trace of the timed window")
     args = p.parse_args()
 
+    from ssd_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     with open(args.config) as f:
         cfg_dict = json.load(f)
     cfg = Config.from_dict(apply_overrides(cfg_dict, args.set), strict=False)

@@ -80,6 +80,9 @@ def main() -> None:
                    help="config override, e.g. model.width_multiplier=0.5")
     args = p.parse_args()
 
+    from ssd_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     with open(args.config) as f:
         cfg_dict = json.load(f)
     cfg = Config.from_dict(apply_overrides(cfg_dict, args.set), strict=False)

@@ -365,6 +365,8 @@ def main() -> None:
 
     if not os.path.exists(args.config):
         p.error(f"config file not found: {args.config}")
+    from ssd_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     cfg = Config.load(args.config)
     os.makedirs(args.workdir, exist_ok=True)
     cfg.save(os.path.join(args.workdir, "config.json"))
