@@ -199,6 +199,17 @@ class TrainConfig:
     # across steps). E.g. "backbone" or "backbone,fpn". BN running stats
     # keep tracking the new data.
     freeze: str = ""
+    # Knowledge distillation: path to a TEACHER inference artifact (any
+    # backbone trained in this framework with the same anchor config and
+    # class count — e.g. resnet50 teaching mobilenet-0.5). The teacher
+    # runs gradient-free inside the compiled train step at the student's
+    # resolution; its temperature-scaled class probabilities and box
+    # deltas supervise the student alongside the ground-truth loss
+    # (ops/distill.py). Empty = off.
+    distill_from: str = ""
+    distill_weight: float = 1.0  # scale of the distillation term
+    distill_temperature: float = 2.0
+    distill_box_weight: float = 1.0  # box term inside the distill loss
     # Gradient accumulation: >1 splits each global batch into this many
     # sequential microbatches inside the jitted step (lax.scan), averaging
     # gradients before ONE optimizer update — large effective batches on

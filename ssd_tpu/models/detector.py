@@ -154,11 +154,15 @@ class Detector:
 
     # ---------------------------------------------------------------- loss
 
-    def loss(self, variables: dict, batch: dict, train: bool = True):
+    def loss(self, variables: dict, batch: dict, train: bool = True,
+             teacher=None):
         """Full training loss for a batch.
 
         ``batch``: ``images`` uint8 (N, S, S, 3); ``boxes`` (N, M, 4);
         ``labels`` (N, M) int32; ``num_boxes`` (N,) int32.
+        ``teacher``: optional ``(model, variables)`` of a trained teacher
+        with identical head geometry — adds the distillation term
+        (ops/distill.py) scaled by ``cfg.train.distill_weight``.
         Returns ``(loss, (metrics, new_model_state))``.
         """
         cfg = self.cfg
@@ -200,6 +204,19 @@ class Detector:
             "regularization_loss": reg,
             "num_positives": ld.num_positives,
         }
+        if teacher is not None:
+            from ssd_tpu.ops.distill import distillation_loss
+            t_model, t_vars = teacher
+            t_raw = t_model.apply(t_vars, images, train=False,
+                                  flatten=not per_level)
+            dd = distillation_loss(
+                raw, t_raw, cfg.num_classes,
+                temperature=cfg.train.distill_temperature,
+                box_weight=cfg.train.distill_box_weight,
+            )
+            total = total + cfg.train.distill_weight * dd.total
+            metrics["loss"] = total
+            metrics["distill_loss"] = dd.total
         return total, (metrics, new_state)
 
     # ------------------------------------------------------------- predict

@@ -115,6 +115,7 @@ def inference_variables(state: TrainState) -> dict:
 def make_train_step(
     detector: Detector, tx: optax.GradientTransformation,
     ema_decay: float = 0.0, grad_accum_steps: int = 1,
+    teacher=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Returns ``(state, batch) -> (state, metrics)`` — pure, jit-ready.
 
@@ -129,12 +130,17 @@ def make_train_step(
     gradient equals the full-batch gradient exactly when those agree
     (tested for a norm="group" model in test_train_step); BN running
     stats EMA-update once per microbatch.
+
+    ``teacher``: optional ``(model, variables)`` pair for knowledge
+    distillation — the teacher forward runs gradient-free inside the same
+    compiled step; its variables enter the program as (replicated)
+    constants, so no train-state or sharding plumbing changes.
     """
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
         total, (metrics, new_state) = detector.loss(
-            variables, batch, train=True
+            variables, batch, train=True, teacher=teacher
         )
         return total, (metrics, new_state)
 

@@ -181,6 +181,25 @@ def train(cfg: Config, workdir: str, resume: bool = True,
             f"microbatch ({cfg.train.batch_size}//{accum}) must divide by "
             f"the data axis ({data_axis}) for grad accumulation")
 
+    # Load + validate the distillation teacher BEFORE touching data or
+    # checkpoints: a bad teacher path/geometry should fail fast.
+    teacher_cfg = teacher_vars = None
+    if cfg.train.distill_from:
+        from ssd_tpu.export import load_inference_artifact
+        teacher_cfg, teacher_vars = load_inference_artifact(
+            cfg.train.distill_from)
+        if teacher_cfg.num_classes != cfg.num_classes:
+            raise ValueError(
+                f"distill teacher has {teacher_cfg.num_classes} classes, "
+                f"student {cfg.num_classes}")
+        if teacher_cfg.anchors != cfg.anchors:
+            raise ValueError(
+                "distill teacher's anchor config differs from the "
+                "student's — head geometries must match")
+        print(f"distillation: teacher {teacher_cfg.model.backbone} "
+              f"(w={teacher_cfg.model.width_multiplier}) from "
+              f"{cfg.train.distill_from}", flush=True)
+
     ckpt = TrainCheckpointer(
         os.path.join(workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
     )
@@ -216,10 +235,21 @@ def train(cfg: Config, workdir: str, resume: bool = True,
         raise ValueError(
             f"unknown train.param_sharding: {cfg.train.param_sharding!r}")
     state = jax.device_put(state, state_shardings)
+
+    def _teacher_for(det):
+        """Teacher (model, vars) at this student Detector's resolution."""
+        if teacher_vars is None:
+            return None
+        import dataclasses as _dc
+        t_det = Detector(_dc.replace(
+            teacher_cfg, image_size=det.cfg.image_size))
+        return (t_det.model, teacher_vars)
+
     def _build_step(det):
         return jit_train_step(
             make_train_step(det, tx, cfg.train.ema_decay,
-                            cfg.train.grad_accum_steps),
+                            cfg.train.grad_accum_steps,
+                            teacher=_teacher_for(det)),
             mesh, state_shardings if cfg.train.param_sharding != "replicated"
             else None)
 
