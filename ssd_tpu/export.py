@@ -72,6 +72,55 @@ def export_stablehlo(path: str, cfg: Config, variables: dict,
     return out_file
 
 
+def export_savedmodel(path: str, cfg: Config, variables: dict,
+                      batch_size: int = 1,
+                      platforms: tuple[str, ...] | None = None) -> str:
+    """Export the predict program as a TensorFlow SavedModel.
+
+    This is the reference's LITERAL artifact: its ``save.py`` freezes a
+    SavedModel with signature ``images (N,H,W,3) uint8 -> {boxes, scores,
+    labels, num_boxes}`` (SURVEY.md §3.3/§1 L7). The jax2tf bridge bakes
+    the weights in as constants (same as the reference's frozen graph), so
+    a reference user can drop this directory into TF Serving / the
+    ``tf.saved_model.load`` workflow they already run, with the identical
+    signature — no jax on the serving host.
+
+    ``platforms``: native-serialization targets (default: current backend).
+    Pass ``("cpu",)`` to guarantee the artifact runs on CPU TF Serving
+    regardless of where the export happened.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from ssd_tpu.models.detector import Detector
+
+    det = Detector(cfg)
+
+    def predict(images):
+        out = det.predict(variables, images)
+        return {"boxes": out.boxes, "scores": out.scores,
+                "labels": out.labels, "num_boxes": out.num_boxes}
+
+    tf_fn = jax2tf.convert(
+        predict,
+        native_serialization=True,
+        native_serialization_platforms=platforms,
+    )
+    module = tf.Module()
+    spec = tf.TensorSpec((batch_size,) + cfg.image_hw() + (3,), tf.uint8,
+                         name="images")
+    module.predict = tf.function(tf_fn, input_signature=[spec],
+                                 autograph=False)
+    out_dir = os.path.join(
+        path, "savedmodel_b{}_{}x{}".format(batch_size, *cfg.image_hw())
+    )
+    tf.saved_model.save(
+        module, out_dir,
+        signatures={"serving_default": module.predict},
+    )
+    return out_dir
+
+
 def load_stablehlo(file_path: str):
     """Load a serialized predict program. Returns ``fn(images) -> dict``."""
     from jax import export as jexport
@@ -106,6 +155,13 @@ def main() -> None:
                    help="artifact dir (default: <workdir>/export)")
     p.add_argument("--stablehlo", action="store_true",
                    help="also serialize a self-contained predict program")
+    p.add_argument("--savedmodel", action="store_true",
+                   help="also export a frozen TF SavedModel (the "
+                        "reference's save.py artifact) via jax2tf")
+    p.add_argument("--savedmodel-platforms", default=None,
+                   help="comma-separated jax2tf targets (e.g. 'cpu' to "
+                        "guarantee a CPU-servable artifact); default: "
+                        "current backend")
     p.add_argument("--batch-size", type=int, default=1)
     args = p.parse_args()
 
@@ -127,6 +183,13 @@ def main() -> None:
     if args.stablehlo:
         f = export_stablehlo(out, cfg, variables, batch_size=args.batch_size)
         print(f"wrote serialized predict program to {f}")
+    if args.savedmodel:
+        platforms = (tuple(args.savedmodel_platforms.split(","))
+                     if args.savedmodel_platforms else None)
+        d = export_savedmodel(out, cfg, variables,
+                              batch_size=args.batch_size,
+                              platforms=platforms)
+        print(f"wrote TF SavedModel to {d}")
 
 
 def load_inference_artifact(path: str) -> tuple[Config, dict]:

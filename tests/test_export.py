@@ -88,3 +88,34 @@ def test_warm_start_copies_matching_leaves(tmp_path):
     got_head = np.asarray(
         state2.params["head"]["class_net"]["predict"]["kernel"])
     np.testing.assert_array_equal(fresh_head, got_head)
+
+
+def test_savedmodel_export_matches_jax(tmp_path):
+    """The jax2tf SavedModel (the reference's save.py artifact, SURVEY.md
+    §3.3) reloads in plain TF and reproduces the jax predict outputs."""
+    import tensorflow as tf
+
+    from ssd_tpu.export import export_savedmodel
+
+    det = Detector(CFG)
+    variables = det.init(jax.random.PRNGKey(3))
+    images = np.random.default_rng(1).integers(
+        0, 255, (2, 64, 64, 3)
+    ).astype(np.uint8)
+
+    want = jax.jit(det.predict)(variables, images)
+
+    out_dir = export_savedmodel(str(tmp_path / "e"), CFG, variables,
+                                batch_size=2, platforms=("cpu",))
+    loaded = tf.saved_model.load(out_dir)
+    got = loaded.signatures["serving_default"](images=tf.constant(images))
+
+    assert set(got) == {"boxes", "scores", "labels", "num_boxes"}
+    np.testing.assert_array_equal(np.asarray(want.num_boxes),
+                                  got["num_boxes"].numpy())
+    np.testing.assert_array_equal(np.asarray(want.labels),
+                                  got["labels"].numpy())
+    np.testing.assert_allclose(np.asarray(want.boxes),
+                               got["boxes"].numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(want.scores),
+                               got["scores"].numpy(), atol=1e-6)
