@@ -1,16 +1,30 @@
-"""Headline benchmark: batch-inference images/sec/chip at 640x640.
+"""Headline benchmark: the full BASELINE.json metric row on one chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. The driver contract fields are
+``{"metric", "value", "unit", "vs_baseline"}`` (value = images/sec/chip at
+640x640 b32 on the flagship MobileNet-FPN dense4); the remaining fields
+carry the rest of the BASELINE metric row ("images/sec/chip; p50 NMS
+latency; COCO mAP parity" plus MFU):
+
+  * ``p50_batch_ms`` / ``p99_batch_ms`` — sustained per-batch latency over
+    pipelined WINDOW-deep dispatch windows (per-call host blocking would
+    measure the host<->device round trip — ~30 ms through a tunnel — not
+    the chip).
+  * ``p50_postprocess_ms`` — the candidate-selection + class-wise NMS
+    sub-program (everything after the raw head maps), timed standalone;
+    includes re-reading the raw head maps from HBM, which the fused
+    predict program avoids, so this upper-bounds the in-situ cost.
+  * ``mfu`` — measured FLOPs (XLA cost analysis of the compiled predict)
+    / measured time / 197e12 (v5e bf16 peak).
 
 The reference publishes no numbers (BASELINE.json ``published: {}``); the
-north-star target is >=10x the TF reference's images/sec on one chip. Until
-the reference is measurable, ``vs_baseline`` is computed against a measured
-stand-in: a faithful same-architecture forward pass on this host's CPU via
-TF (see bench_reference.py), cached in ``reference_baseline.json``. If no
-cached reference number exists, vs_baseline is reported against the
-conservative documented estimate in that file's absence (25 img/s, a
-generous CPU figure for MobileNet-SSD at 640x640).
+north-star target is >=10x the TF reference's images/sec on one chip.
+Until the reference is measurable, ``vs_baseline`` is computed against a
+measured stand-in: a faithful same-architecture forward pass on this
+host's CPU via TF (see bench_reference.py), cached in
+``reference_baseline.json``. If no cached reference number exists,
+vs_baseline falls back to the conservative documented estimate (25 img/s,
+a generous CPU figure for MobileNet-SSD at 640x640).
 """
 
 from __future__ import annotations
@@ -21,9 +35,18 @@ import time
 
 BATCH = 32
 WARMUP = 3
-ITERS = 30
+WINDOW = 30         # dispatches per timing window (pipelined):
+#   the one host block per window (~ms of host->device round trip; ~30 ms
+#   through a tunnel) amortizes to noise at this depth
+WINDOWS = 8         # timing windows for the latency distribution
 REF_FILE = os.path.join(os.path.dirname(__file__), "reference_baseline.json")
 FALLBACK_REFERENCE_IMG_PER_S = 25.0
+PEAK_BF16_FLOPS = 197e12  # TPU v5e, one chip
+
+
+def _percentile(sorted_vals, q: float) -> float:
+    i = min(int(q * len(sorted_vals)), len(sorted_vals) - 1)
+    return sorted_vals[i]
 
 
 def main() -> None:
@@ -45,26 +68,75 @@ def main() -> None:
     det = Detector(cfg)
     variables = det.init(jax.random.PRNGKey(0))
 
-    @jax.jit
     def predict(variables, images):
         out = det.predict(variables, images)
         return out.boxes, out.scores, out.labels, out.num_boxes
 
     images = jnp.zeros((BATCH, cfg.image_size, cfg.image_size, 3), jnp.uint8)
 
+    # AUTO input layout: XLA picks the image layout the stem conv wants, so
+    # no relayout copy runs inside the program; the (one-time) device_put
+    # below writes that layout — in serving, the host->device transfer does
+    # (predictor.py uses the same entry).
+    try:
+        from jax.experimental.layout import Format, Layout
+        jf = jax.jit(predict, in_shardings=(None, Format(Layout.AUTO)))
+        compiled = jf.lower(variables, images).compile()
+        images = jax.device_put(images, compiled.input_formats[0][1])
+    except Exception:  # pragma: no cover - older jax
+        compiled = jax.jit(predict).lower(variables, images).compile()
+
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops_per_batch = float(ca.get("flops", 0.0))
+
     for _ in range(WARMUP):
-        jax.block_until_ready(predict(variables, images))
+        jax.block_until_ready(compiled(variables, images))
 
-    # Pipelined timing: queue all steps, block once — measures sustained
-    # device throughput rather than host<->device round-trip latency.
-    t0 = time.perf_counter()
-    result = None
-    for _ in range(ITERS):
-        result = predict(variables, images)
-    jax.block_until_ready(result)
-    dt = time.perf_counter() - t0
+    # Pipelined timing windows: queue WINDOW steps, block once — measures
+    # sustained device throughput rather than host<->device round-trip
+    # latency — and the window distribution gives p50/p99.
+    window_ms = []
+    t_all0 = time.perf_counter()
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        result = None
+        for _ in range(WINDOW):
+            result = compiled(variables, images)
+        jax.block_until_ready(result)
+        window_ms.append((time.perf_counter() - t0) / WINDOW * 1e3)
+    dt = time.perf_counter() - t_all0
 
-    images_per_sec = BATCH * ITERS / dt
+    images_per_sec = BATCH * WINDOW * WINDOWS / dt
+    window_ms.sort()
+    p50 = _percentile(window_ms, 0.50)
+    p99 = _percentile(window_ms, 0.99)
+    mfu = flops_per_batch / (p50 * 1e-3) / PEAK_BF16_FLOPS
+
+    # ---- postprocess (candidate selection + NMS) sub-program, standalone.
+    from ssd_tpu.ops.postprocess import postprocess_cells
+
+    raw_levels = jax.block_until_ready(det.model.apply(
+        variables, images, train=False, flatten=False, raw_input=True))
+
+    def post(raw_levels):
+        out = postprocess_cells(raw_levels, det.anchors, cfg.num_classes,
+                                cfg.nms, use_pallas=cfg.nms.use_pallas)
+        return out.boxes, out.scores, out.labels, out.num_boxes
+
+    post_c = jax.jit(post).lower(raw_levels).compile()
+    for _ in range(WARMUP):
+        jax.block_until_ready(post_c(raw_levels))
+    post_ms = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(WINDOW):
+            r = post_c(raw_levels)
+        jax.block_until_ready(r)
+        post_ms.append((time.perf_counter() - t0) / WINDOW * 1e3)
+    post_ms.sort()
 
     ref = FALLBACK_REFERENCE_IMG_PER_S
     if os.path.exists(REF_FILE):
@@ -76,6 +148,12 @@ def main() -> None:
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / ref, 2),
+        "p50_batch_ms": round(p50, 3),
+        "p99_batch_ms": round(p99, 3),
+        "p50_postprocess_ms": round(_percentile(post_ms, 0.50), 3),
+        "mfu": round(mfu, 4),
+        "gflops_per_image": round(flops_per_batch / BATCH / 1e9, 2),
+        "batch": BATCH,
     }))
 
 

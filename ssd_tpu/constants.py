@@ -37,3 +37,11 @@ BATCH_NORM_EPSILON = 1e-3
 
 # Numerical epsilon for box geometry.
 EPSILON = 1e-8
+
+# ImageNet per-channel normalization (images arrive as uint8 RGB).
+# Owned here (not in models/detector.py) so backbone stems can fold the
+# affine into their first conv's lowering without a circular import.
+import numpy as _np  # noqa: E402  (kept at bottom: constants-only module)
+
+MEAN_RGB = _np.array([0.485, 0.456, 0.406], _np.float32) * 255.0
+STD_RGB = _np.array([0.229, 0.224, 0.225], _np.float32) * 255.0

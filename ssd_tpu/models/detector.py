@@ -34,9 +34,10 @@ from ssd_tpu.ops import losses
 from ssd_tpu.ops.nms import Detections
 from ssd_tpu.ops.targets import create_targets
 
-# ImageNet normalization (images arrive as uint8 RGB).
-MEAN_RGB = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
-STD_RGB = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
+# ImageNet normalization (images arrive as uint8 RGB). Owned by
+# constants.py so stems can fold the affine into their first conv
+# (models/mobilenet._FoldedS2DConv); re-exported here for compatibility.
+from ssd_tpu.constants import MEAN_RGB, STD_RGB  # noqa: E402,F401
 
 
 def normalize_images(images_uint8: jnp.ndarray,
@@ -51,8 +52,10 @@ def normalize_images(images_uint8: jnp.ndarray,
     return x.astype(compute_dtype)
 
 
-def build_backbone(cfg: Config) -> nn.Module:
+def build_backbone(cfg: Config, fold_normalize: bool = False) -> nn.Module:
     m = cfg.model
+    if fold_normalize and m.stem_schedule != "dense4":
+        raise ValueError("fold_normalize is a dense4-stem lowering")
     if m.compute_dtype == "int8" and m.backbone != "mobilenet":
         raise ValueError(
             "int8 inference relies on ReLU6-bounded activations; only the "
@@ -70,6 +73,7 @@ def build_backbone(cfg: Config) -> nn.Module:
                            m.bn_momentum, m.norm, stem_stride,
                            remat_early=m.remat_early,
                            stem_schedule=m.stem_schedule,
+                           stem_fold_normalize=fold_normalize,
                            name="backbone")
     if m.backbone == "mobilenet_v2":
         from ssd_tpu.models.mobilenet_v2 import MobileNetV2
@@ -100,8 +104,24 @@ class SSDModel(nn.Module):
 
     @nn.compact
     def __call__(self, images, train: bool = False, flatten: bool = True,
-                 trunk_only: bool = False):
+                 trunk_only: bool = False, raw_input: bool = False):
         cfg = self.cfg
+        # raw_input: ``images`` is the raw uint8 batch and normalization is
+        # this model's job. With the dense4 stem (bf16/f32) the affine is
+        # folded into the stem conv's weights so the full-resolution
+        # normalized image never materializes (saved a ~0.6 ms relayout
+        # copy + halved the stem conv's input bytes at b32/640, round-4
+        # trace); every other path normalizes inline, same as callers that
+        # pre-normalize.
+        fold = (raw_input and cfg.model.stem_schedule == "dense4"
+                and cfg.model.compute_dtype != "int8")
+        if raw_input and not fold:
+            # Always bf16, matching the historical pre-raw_input behavior
+            # (callers normalized with the default dtype): f32 models still
+            # get bf16-rounded pixels — their convs upcast — keeping
+            # DP-vs-TP numerics unchanged (test_channel_tp_matches_replicated
+            # is calibrated to that input rounding).
+            images = normalize_images(images)
         if cfg.model.stem_space_to_depth:
             # The backbone's stride-2 stem then sees a (S/2, S/2, 12)
             # input and runs stride 1 — same receptive field, MXU-dense.
@@ -110,7 +130,7 @@ class SSDModel(nn.Module):
         # its space-to-depth(4) packing is folded into the stem conv's
         # lowering inside the backbone (models/mobilenet.Dense4Stem), so
         # no full-image reshape/transpose chain ever materializes.
-        feats = build_backbone(cfg)(images, train)
+        feats = build_backbone(cfg, fold_normalize=fold)(images, train)
         # int8 is backbone-only: FPN/head activations are unbounded sums,
         # so they run bf16 regardless.
         neck_dtype = ("bfloat16" if cfg.model.compute_dtype == "int8"
@@ -166,18 +186,18 @@ class Detector:
         Returns ``(loss, (metrics, new_model_state))``.
         """
         cfg = self.cfg
-        images = normalize_images(batch["images"])
+        images = batch["images"]
         # OHEM ranks per-anchor losses, which the per-level path never
         # materializes — it falls back to the flat (N, A, C) loss.
         per_level = cfg.losses.per_level and not cfg.losses.use_ohem
         if train:
             raw, new_state = self.model.apply(
                 variables, images, train=True, mutable=["batch_stats"],
-                flatten=not per_level,
+                flatten=not per_level, raw_input=True,
             )
         else:
             raw = self.model.apply(variables, images, train=False,
-                                   flatten=not per_level)
+                                   flatten=not per_level, raw_input=True)
             new_state = {}
 
         targets = create_targets(
@@ -208,7 +228,7 @@ class Detector:
             from ssd_tpu.ops.distill import distillation_loss
             t_model, t_vars = teacher
             t_raw = t_model.apply(t_vars, images, train=False,
-                                  flatten=not per_level)
+                                  flatten=not per_level, raw_input=True)
             dd = distillation_loss(
                 raw, t_raw, cfg.num_classes,
                 temperature=cfg.train.distill_temperature,
@@ -232,12 +252,13 @@ class Detector:
         stays the default.
         """
         cfg = self.cfg
-        images = normalize_images(images_uint8)
+        images = images_uint8
         if cfg.model.head_final_kernel == 1:
             # fused head: logits never materialize (ops/fused_head.py)
             from ssd_tpu.ops.fused_head import fused_head_detections
             cls_trunk, box_trunk = self.model.apply(
-                variables, images, train=False, trunk_only=True
+                variables, images, train=False, trunk_only=True,
+                raw_input=True,
             )
             on_tpu = _on_tpu()
             return fused_head_detections(
@@ -252,14 +273,15 @@ class Detector:
             # never materialized (see ops/postprocess.select_candidates_cells)
             from ssd_tpu.ops.postprocess import postprocess_cells
             raw = self.model.apply(variables, images, train=False,
-                                   flatten=False)
+                                   flatten=False, raw_input=True)
             on_tpu = _on_tpu()
             return postprocess_cells(
                 raw, self.anchors, cfg.num_classes, cfg.nms,
                 use_pallas=cfg.nms.use_pallas and on_tpu,
                 interpret=not on_tpu,
             )
-        logits, deltas = self.model.apply(variables, images, train=False)
+        logits, deltas = self.model.apply(variables, images, train=False,
+                                          raw_input=True)
         return self.postprocess(logits, deltas)
 
     def postprocess(self, logits: jnp.ndarray, deltas: jnp.ndarray) -> Detections:

@@ -15,8 +15,9 @@ import functools
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ssd_tpu.constants import BATCH_NORM_EPSILON
+from ssd_tpu.constants import BATCH_NORM_EPSILON, MEAN_RGB, STD_RGB
 from ssd_tpu.models.layers import (ConvBN, DepthwiseSeparable, QuantConv,
                                    _dtype, _num_groups, space_to_depth)
 
@@ -25,32 +26,103 @@ def _width(ch: int, multiplier: float) -> int:
     return max(8, int(ch * multiplier + 0.5) // 8 * 8)
 
 
-class _FoldedS2DConv(nn.Module):
-    """The dense4 stem conv, lowered WITHOUT materializing space-to-depth.
+def _s2d_pack_kernel() -> np.ndarray:
+    """Constant one-hot (4, 4, 3, 48) kernel: conv(x, k, stride 4, VALID)
+    IS space-to-depth(4) — channel ``(4*dy + dx)*3 + c`` picks pixel
+    ``(dy, dx)`` channel ``c`` of each 4x4 block."""
+    k = np.zeros((4, 4, 3, 48), np.float32)
+    for dy in range(4):
+        for dx in range(4):
+            for c in range(3):
+                k[dy, dx, c, (4 * dy + dx) * 3 + c] = 1.0
+    return k
 
-    Parameterized exactly like the packed formulation — one
-    ``(3, 3, 48, features)`` kernel over the space-to-depth(4) image — but
-    applied as the mathematically identical 12x12/stride-4 conv on the raw
-    input: ``w12[4ky+dy, 4kx+dx, c] = w48[ky, kx, (4dy+dx)*3+c]``, padding
-    4 on each side (= the packed conv's SAME padding of one 48-channel
-    ring). XLA materializes the explicit s2d reshape/transpose chain as two
-    full-image layout copies (~1.7 ms of the b32/640 serve batch, round-3
-    trace); the fold removes them while keeping the checkpoint tree
-    interchangeable with the packed form.
+
+class _FoldedS2DConv(nn.Module):
+    """The dense4 stem conv, lowered WITHOUT materializing space-to-depth
+    through XLA reshape/transpose (two full-image layout copies, ~1.7 ms
+    of the b32/640 serve batch, round-3 trace).
+
+    Parameterized as one ``(3, 3, 48, features)`` kernel over the
+    space-to-depth(4) image. Lowering (round-4 trace-driven): the packing
+    itself runs as a conv with a constant one-hot ``(4, 4, 3, 48)``
+    stride-4 kernel (:func:`_s2d_pack_kernel`) — the conv emitter handles
+    the strided window with no transpose copies — followed by the real
+    3x3 SAME conv on the clean 48-channel input (C_in=48 tiles the MXU's
+    16-wide input-channel window exactly; the direct 12x12/s4 C_in=3 form
+    padded 3->8 sublanes and measured 2.07 ms vs 1.64 ms for this form).
+    Zero-padding the packed grid is tap-for-tap identical to the 12x12
+    form's 4-pixel zero padding.
     """
 
     features: int
     dtype: jnp.dtype
+    # Fold the ImageNet normalize affine into this conv's lowering: the
+    # input is then the RAW uint8 image and the bf16 full-resolution
+    # normalized image (plus its ~0.6 ms layout copy, round-4 trace)
+    # never materializes. Exact: weights are pre-divided by STD_RGB and
+    # the mean term is subtracted as a border-aware correction map, so
+    # zero-padding the raw input reproduces the normalized path's
+    # mean-padding semantics tap for tap (see _border_correction).
+    fold_normalize: bool = False
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 48, self.features), jnp.float32)
-        k = kernel.astype(self.dtype).reshape(3, 3, 4, 4, 3, self.features)
-        w12 = k.transpose(0, 2, 1, 3, 4, 5).reshape(12, 12, 3, self.features)
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w12, (4, 4), [(4, 4), (4, 4)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dn = ("NHWC", "HWIO", "NHWC")
+        pack = jnp.asarray(_s2d_pack_kernel(), self.dtype)
+        xs = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), pack, (4, 4), "VALID",
+            dimension_numbers=dn)  # (N, H/4, W/4, 48)
+        if not self.fold_normalize:
+            return jax.lax.conv_general_dilated(
+                xs, kernel.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=dn)
+        std48 = jnp.asarray(np.tile(STD_RGB, 16), jnp.float32)
+        wp = (kernel / std48[None, None, :, None]).astype(self.dtype)
+        # f32 accumulate/output: the mean-correction subtraction cancels a
+        # term of comparable magnitude, so the conv result must not round
+        # to bf16 before it (the convert fuses into the conv root).
+        y = jax.lax.conv_general_dilated(
+            xs, wp, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        corr = self._border_correction(
+            wp.astype(jnp.float32), xs.shape[1], xs.shape[2])
+        return (y - corr).astype(self.dtype)
+
+    @staticmethod
+    def _border_correction(wp_f32, ph: int, pw: int):
+        """conv(mean_image, wp) under the same zero-padding, cheaply.
+
+        ``y - corr`` then equals ``conv(x - mean, wp)`` with the padded
+        ring contributing zero — identical semantics to convolving the
+        normalized image. Interior outputs all share one value, so a 5x5
+        packed-grid probe (left edge / 3 interior / right edge positions
+        per axis) covers every boundary class; the full map is assembled
+        by broadcasting the interior class. Falls back to a full-size
+        probe below 5 packed cells where edge windows overlap.
+        """
+        dn = ("NHWC", "HWIO", "NHWC")
+        mean48 = jnp.asarray(np.tile(MEAN_RGB, 16), jnp.float32)
+        if ph < 5 or pw < 5:
+            img = jnp.broadcast_to(mean48, (1, ph, pw, 48))
+            return jax.lax.conv_general_dilated(
+                img, wp_f32, (1, 1), "SAME", dimension_numbers=dn)
+        probe = jax.lax.conv_general_dilated(
+            jnp.broadcast_to(mean48, (1, 5, 5, 48)), wp_f32, (1, 1),
+            "SAME", dimension_numbers=dn)[0]  # (5, 5, F)
+
+        def expand(c, n: int, axis: int):
+            first = jax.lax.slice_in_dim(c, 0, 1, axis=axis)
+            mid = jax.lax.slice_in_dim(c, 1, 2, axis=axis)
+            last = jax.lax.slice_in_dim(c, 4, 5, axis=axis)
+            shape = list(c.shape)
+            shape[axis] = n - 2
+            return jnp.concatenate(
+                [first, jnp.broadcast_to(mid, shape), last], axis)
+
+        return expand(expand(probe, ph, 0), pw, 1)[None]
 
 
 class Dense4Stem(nn.Module):
@@ -67,6 +139,9 @@ class Dense4Stem(nn.Module):
     bn_momentum: float = 0.997
     norm: str = "batch"
     act_range: float = 3.0  # stem input: normalized images
+    # True -> the input is the RAW uint8 image and the normalize affine is
+    # folded into the conv weights (see _FoldedS2DConv.fold_normalize).
+    fold_normalize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -76,7 +151,9 @@ class Dense4Stem(nn.Module):
             x = QuantConv(self.features, 3, 1, use_bias=False,
                           act_range=self.act_range, name="conv")(x)
         else:
-            x = _FoldedS2DConv(self.features, dtype, name="conv")(x)
+            x = _FoldedS2DConv(self.features, dtype,
+                               fold_normalize=self.fold_normalize,
+                               name="conv")(x)
         if self.norm == "group":
             x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]),
                              epsilon=BATCH_NORM_EPSILON, dtype=dtype,
@@ -111,6 +188,9 @@ class MobileNetV1(nn.Module):
     # 3x3 conv to w(128) plus ds3, replacing stem/ds1/ds2 (whose /2
     # outputs the FPN never consumed).
     stem_schedule: str = "reference"
+    # dense4 only: input is the raw uint8 image; the stem conv folds the
+    # ImageNet normalize affine into its weights (Dense4Stem.fold_normalize).
+    stem_fold_normalize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -140,6 +220,7 @@ class MobileNetV1(nn.Module):
                     Stem4 = nn.remat(Dense4Stem, static_argnums=(2,))
                 x = Stem4(w(128), compute_dtype=mdl.compute_dtype,
                           bn_momentum=mdl.bn_momentum, norm=mdl.norm,
+                          fold_normalize=mdl.stem_fold_normalize,
                           name="stem")(x, train)  # /4
             else:
                 x = StemBase(w(32), strides=mdl.stem_stride,
