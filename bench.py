@@ -120,9 +120,11 @@ def main() -> None:
     raw_levels = jax.block_until_ready(det.model.apply(
         variables, images, train=False, flatten=False, raw_input=True))
 
+    from ssd_tpu.models.detector import nms_use_pallas
+
     def post(raw_levels):
         out = postprocess_cells(raw_levels, det.anchors, cfg.num_classes,
-                                cfg.nms, use_pallas=cfg.nms.use_pallas)
+                                cfg.nms, use_pallas=nms_use_pallas(cfg.nms))
         return out.boxes, out.scores, out.labels, out.num_boxes
 
     post_c = jax.jit(post).lower(raw_levels).compile()

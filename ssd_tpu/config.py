@@ -142,7 +142,15 @@ class NMSConfig:
     # and safe only for known-sparse scenes).
     num_candidates: int = 1024
     pre_nms_top_k: int = 128  # per-class candidates entering suppression
-    use_pallas: bool = True  # on TPU use the Pallas kernel; jnp fallback otherwise
+    # NMS backend, same semantics as MatcherConfig.use_pallas: the Pallas
+    # suppression kernel is an unpartitioned custom call under GSPMD, so
+    # "auto" (default) enables it on TPU with ONE device — or on any device
+    # count when the caller provides a mesh (Detector.predict(mesh=...)),
+    # where it runs under shard_map over the data axis and DP serving keeps
+    # the kernel (ops/nms_pallas.batched_nms_pallas_sharded). True forces
+    # the kernel on TPU even meshless-multi-device (it then REPLICATES the
+    # full-batch NMS on every device); False always uses the jnp path.
+    use_pallas: bool | str = "auto"
     # Suppression method: "hard" (greedy NMS, reference parity, Pallas
     # kernel available) | "soft_linear" | "soft_gaussian" (Soft-NMS score
     # decay — better recall on crowded scenes at slightly more compute;

@@ -241,8 +241,15 @@ class Detector:
 
     # ------------------------------------------------------------- predict
 
-    def predict(self, variables: dict, images_uint8: jnp.ndarray) -> Detections:
+    def predict(self, variables: dict, images_uint8: jnp.ndarray,
+                mesh=None) -> Detections:
         """uint8 images -> NMS'd detections (the reference's public contract).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` of the serving mesh (static;
+        close over it, don't trace it). With a mesh and the Pallas NMS
+        enabled, suppression runs under ``shard_map`` over the data axis so
+        multi-device DP serving keeps the kernel (see
+        NMSConfig.use_pallas).
 
         Note: a per-level postprocess variant exists
         (``ops.postprocess.postprocess_pyramid`` with ``flatten=False``
@@ -253,6 +260,7 @@ class Detector:
         """
         cfg = self.cfg
         images = images_uint8
+        use_pallas = nms_use_pallas(cfg.nms, mesh)
         if cfg.model.head_final_kernel == 1:
             # fused head: logits never materialize (ops/fused_head.py)
             from ssd_tpu.ops.fused_head import fused_head_detections
@@ -260,13 +268,12 @@ class Detector:
                 variables, images, train=False, trunk_only=True,
                 raw_input=True,
             )
-            on_tpu = _on_tpu()
             return fused_head_detections(
                 cls_trunk, box_trunk, variables["params"]["head"],
                 self.anchors, cfg.num_classes,
                 cfg.anchors.num_anchors_per_cell, cfg.nms,
-                use_pallas_nms=cfg.nms.use_pallas and on_tpu,
-                interpret=not on_tpu,
+                use_pallas_nms=use_pallas,
+                interpret=not _on_tpu(), mesh=mesh,
             )
         if cfg.nms.select == "cells":
             # layout-native cell-major selection: the (N, A, C) logits are
@@ -274,21 +281,22 @@ class Detector:
             from ssd_tpu.ops.postprocess import postprocess_cells
             raw = self.model.apply(variables, images, train=False,
                                    flatten=False, raw_input=True)
-            on_tpu = _on_tpu()
             return postprocess_cells(
                 raw, self.anchors, cfg.num_classes, cfg.nms,
-                use_pallas=cfg.nms.use_pallas and on_tpu,
-                interpret=not on_tpu,
+                use_pallas=use_pallas,
+                interpret=not _on_tpu(), mesh=mesh,
             )
         logits, deltas = self.model.apply(variables, images, train=False,
                                           raw_input=True)
-        return self.postprocess(logits, deltas)
+        return self.postprocess(logits, deltas, mesh=mesh)
 
-    def postprocess(self, logits: jnp.ndarray, deltas: jnp.ndarray) -> Detections:
+    def postprocess(self, logits: jnp.ndarray, deltas: jnp.ndarray,
+                    mesh=None) -> Detections:
         from ssd_tpu.ops.postprocess import postprocess_detections
         return postprocess_detections(
             logits, deltas, self.anchors, self.cfg.nms,
-            use_pallas=self.cfg.nms.use_pallas and _on_tpu(),
+            use_pallas=nms_use_pallas(self.cfg.nms, mesh),
+            interpret=not _on_tpu(), mesh=mesh,
         )
 
 
@@ -297,3 +305,19 @@ def _on_tpu() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+def nms_use_pallas(nms_cfg, mesh=None) -> bool:
+    """Resolve NMSConfig.use_pallas ("auto" | bool) to a concrete choice.
+
+    Mirrors the matcher's gate (ops/targets.create_targets): a Pallas call
+    is an unpartitioned custom call under GSPMD, so "auto" only enables the
+    kernel where that cannot replicate work — a single device, or a
+    caller-provided mesh (the kernel then runs under shard_map over the
+    data axis, ops/nms_pallas.batched_nms_pallas_sharded)."""
+    up = getattr(nms_cfg, "use_pallas", "auto")
+    if not _on_tpu():
+        return False
+    if up == "auto":
+        return jax.device_count() == 1 or mesh is not None
+    return bool(up)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ssd_tpu.config import NMSConfig
 from ssd_tpu.ops import box_utils
-from ssd_tpu.ops.nms import Detections, batched_nms
+from ssd_tpu.ops.nms import Detections
 
 LANE = 128
 
@@ -90,6 +90,7 @@ def fused_head_detections(
     use_pallas_nms: bool = False,
     interpret: bool = False,
     exact_topk: bool = False,
+    mesh=None,
 ) -> Detections:
     """Candidate selection + NMS from subnet trunks (1x1 final convs)."""
     import math
@@ -150,7 +151,5 @@ def fused_head_detections(
     scores = jax.nn.sigmoid(cand_logits)
     scores = jnp.where(jnp.isfinite(picked)[..., None], scores, 0.0)
 
-    if use_pallas_nms:
-        from ssd_tpu.ops.nms_pallas import batched_nms_pallas
-        return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
-    return batched_nms(boxes, scores, cfg)
+    from ssd_tpu.ops.postprocess import _nms
+    return _nms(boxes, scores, cfg, use_pallas_nms, interpret, mesh)

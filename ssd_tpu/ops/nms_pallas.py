@@ -262,3 +262,34 @@ def batched_nms_pallas(
     kept = kept[inverse][:g].reshape(n, c, k)
 
     return merge_classes_lazy(boxes, top_idx, kept, cfg)
+
+
+def batched_nms_pallas_sharded(
+    boxes: jnp.ndarray,    # (N, Q, 4)
+    scores: jnp.ndarray,   # (N, Q, C)
+    cfg: NMSConfig,
+    mesh,                  # jax.sharding.Mesh with a data axis
+    data_axis: str = "data",
+    interpret: bool = False,
+) -> Detections:
+    """:func:`batched_nms_pallas` under ``shard_map`` over the data axis.
+
+    Under GSPMD (plain ``jit`` with shardings) a Pallas kernel is an
+    UNPARTITIONED custom call: every device would run the full-batch NMS on
+    replicated inputs (the multi-device hazard MatcherConfig.use_pallas's
+    "auto" mode avoids). The kernel is batch-elementwise, so mapping it over
+    the data axis keeps DP serving on-kernel: each device suppresses only
+    its own batch shard and results concatenate along batch. The per-shard
+    batch must be >= 1 (Predictor's bucket rounding guarantees batch %
+    data-axis-size == 0).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(data_axis)
+    fn = functools.partial(batched_nms_pallas, cfg=cfg, interpret=interpret)
+    # check_vma=False: pallas_call does not carry varying-mesh-axes
+    # metadata; the kernel is batch-elementwise so the per-shard map is
+    # trivially correct.
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=spec, check_vma=False)(boxes, scores)

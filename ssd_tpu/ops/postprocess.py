@@ -241,6 +241,20 @@ def select_candidates_cells(
     return boxes, scores
 
 
+def _nms(boxes, scores, cfg, use_pallas, interpret, mesh):
+    """Dispatch to the Pallas kernel (shard-mapped over the data axis when a
+    mesh is given — multi-device DP serving keeps the kernel), the plain
+    Pallas kernel, or the jnp reference."""
+    if use_pallas and cfg.method == "hard":
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from ssd_tpu.ops.nms_pallas import batched_nms_pallas_sharded
+            return batched_nms_pallas_sharded(boxes, scores, cfg, mesh,
+                                              interpret=interpret)
+        from ssd_tpu.ops.nms_pallas import batched_nms_pallas
+        return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
+    return batched_nms(boxes, scores, cfg)
+
+
 def postprocess_cells(
     raw_levels: list,
     anchors: jnp.ndarray,
@@ -248,14 +262,12 @@ def postprocess_cells(
     cfg: NMSConfig,
     use_pallas: bool = False,
     interpret: bool = False,
+    mesh=None,
 ) -> Detections:
     boxes, scores = select_candidates_cells(
         raw_levels, anchors, num_classes, cfg
     )
-    if use_pallas and cfg.method == "hard":
-        from ssd_tpu.ops.nms_pallas import batched_nms_pallas
-        return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
-    return batched_nms(boxes, scores, cfg)
+    return _nms(boxes, scores, cfg, use_pallas, interpret, mesh)
 
 
 def postprocess_pyramid(
@@ -266,14 +278,12 @@ def postprocess_pyramid(
     use_pallas: bool = False,
     interpret: bool = False,
     exact_topk: bool = False,
+    mesh=None,
 ) -> Detections:
     boxes, scores = select_candidates_pyramid(
         raw_levels, anchors, num_classes, cfg, exact=exact_topk
     )
-    if use_pallas and cfg.method == "hard":
-        from ssd_tpu.ops.nms_pallas import batched_nms_pallas
-        return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
-    return batched_nms(boxes, scores, cfg)
+    return _nms(boxes, scores, cfg, use_pallas, interpret, mesh)
 
 
 def postprocess_detections(
@@ -284,10 +294,8 @@ def postprocess_detections(
     use_pallas: bool = False,
     interpret: bool = False,
     exact_topk: bool = False,
+    mesh=None,
 ) -> Detections:
     boxes, scores = select_candidates(logits, deltas, anchors, cfg,
                                       exact=exact_topk)
-    if use_pallas and cfg.method == "hard":
-        from ssd_tpu.ops.nms_pallas import batched_nms_pallas
-        return batched_nms_pallas(boxes, scores, cfg, interpret=interpret)
-    return batched_nms(boxes, scores, cfg)
+    return _nms(boxes, scores, cfg, use_pallas, interpret, mesh)

@@ -134,8 +134,10 @@ class Predictor:
                 self._jitted[n] = jax.jit(self.detector.predict)
             else:
                 from ssd_tpu.parallel.mesh import replicated
+                mesh = self.mesh  # static: the NMS kernel shard_maps over
+                #                   the data axis (NMSConfig.use_pallas)
                 fn = jax.jit(
-                    self.detector.predict,
+                    lambda v, im: self.detector.predict(v, im, mesh=mesh),
                     in_shardings=(replicated(self.mesh),
                                   self._batch_sharding),
                     out_shardings=replicated(self.mesh),

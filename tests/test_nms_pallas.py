@@ -139,3 +139,46 @@ def test_pallas_nms_on_tpu_shrunk_block(rng):
     nb = int(want.num_boxes[0])
     np.testing.assert_allclose(np.asarray(det.scores)[:, :nb],
                                np.asarray(want.scores)[:, :nb], atol=1e-6)
+
+
+def test_sharded_nms_matches_unsharded(rng):
+    """shard_map-wrapped kernel over the 8-device data axis (interpret mode)
+    == the plain kernel: the multi-device DP serving path
+    (NMSConfig.use_pallas "auto" + Detector.predict(mesh=...)) is exact."""
+    from ssd_tpu.ops.nms_pallas import batched_nms_pallas_sharded
+    from ssd_tpu.parallel import create_mesh
+
+    mesh = create_mesh()  # 8 virtual CPU devices, (data, model) = (8, 1)
+    n = 2 * mesh.shape["data"]
+    boxes, scores = _random_instance(rng, n, 96, 3)
+    cfg = NMSConfig(score_threshold=0.25, iou_threshold=0.5, max_boxes=40,
+                    pre_nms_top_k=64)
+    want = batched_nms_pallas(boxes, scores, cfg, interpret=True)
+    got = batched_nms_pallas_sharded(boxes, scores, cfg, mesh,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(want.num_boxes),
+                                  np.asarray(got.num_boxes))
+    np.testing.assert_allclose(np.asarray(want.scores),
+                               np.asarray(got.scores), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(want.labels),
+                                  np.asarray(got.labels))
+    np.testing.assert_allclose(np.asarray(want.boxes),
+                               np.asarray(got.boxes), atol=1e-6)
+
+
+def test_nms_use_pallas_gate(monkeypatch):
+    """NMSConfig.use_pallas "auto" semantics mirror the matcher's gate."""
+    from ssd_tpu.models import detector as det_mod
+
+    cfg_auto = NMSConfig()
+    assert cfg_auto.use_pallas == "auto"
+    # off-TPU: never the kernel
+    assert det_mod.nms_use_pallas(cfg_auto) is False
+    assert det_mod.nms_use_pallas(NMSConfig(use_pallas=True)) is False
+    # pretend-TPU: auto requires one device or a mesh
+    monkeypatch.setattr(det_mod, "_on_tpu", lambda: True)
+    multi = jax.device_count() > 1
+    assert det_mod.nms_use_pallas(cfg_auto) is (not multi)
+    assert det_mod.nms_use_pallas(cfg_auto, mesh=object()) is True
+    assert det_mod.nms_use_pallas(NMSConfig(use_pallas=True)) is True
+    assert det_mod.nms_use_pallas(NMSConfig(use_pallas=False)) is False
