@@ -89,10 +89,24 @@ def export_savedmodel(path: str, cfg: Config, variables: dict,
     Pass ``("cpu",)`` to guarantee the artifact runs on CPU TF Serving
     regardless of where the export happened.
     """
+    import dataclasses
+
     import tensorflow as tf
     from jax.experimental import jax2tf
 
     from ssd_tpu.models.detector import Detector
+
+    # The Pallas NMS gate reads the HOST backend at trace time
+    # (detector._on_tpu), not the jax2tf lowering platform: exporting on a
+    # TPU host with non-TPU target platforms would otherwise trace Mosaic
+    # TPU custom calls into a CPU-targeted serialization. Force the
+    # platform-neutral jnp NMS whenever any requested target is not TPU
+    # (the default platforms=None serializes for the host backend, where
+    # the host gate is correct by construction).
+    if platforms is not None and any(
+            str(p).lower() not in ("tpu",) for p in platforms):
+        cfg = dataclasses.replace(
+            cfg, nms=dataclasses.replace(cfg.nms, use_pallas=False))
 
     det = Detector(cfg)
 

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax
 
@@ -93,7 +94,7 @@ def test_warm_start_copies_matching_leaves(tmp_path):
 def test_savedmodel_export_matches_jax(tmp_path):
     """The jax2tf SavedModel (the reference's save.py artifact, SURVEY.md
     §3.3) reloads in plain TF and reproduces the jax predict outputs."""
-    import tensorflow as tf
+    tf = pytest.importorskip("tensorflow")
 
     from ssd_tpu.export import export_savedmodel
 
