@@ -39,3 +39,43 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------- test tiers
+#
+# The default run (`pytest tests/ -x -q`, pytest.ini addopts) skips the
+# `heavy` tier: long cross-variant equivalence soaks and secondary-coverage
+# tests whose subsystems keep a faster representative in the default tier.
+# Full coverage: `pytest tests/ -m "not tpu"`; heavy only: `-m heavy`.
+# Centralized here (not per-file decorators) so the tier is one auditable
+# list; durations from the round-4 full run (/tmp-host, 1 core).
+HEAVY_TESTS = {
+    "test_losses.py::test_per_level_loss_matches_flat",        # 97s; giou variant stays
+    "test_model.py::test_int8_backbone_agrees_with_f32",       # 80s
+    "test_train_step.py::test_grad_accum_matches_full_batch",  # 75s
+    "test_distill.py::test_train_step_with_teacher",           # 63s
+    "test_train_step.py::test_fsdp_matches_replicated",        # 60s; dryrun_multichip also covers
+    "test_train_step.py::test_channel_tp_matches_replicated",  # 58s; dryrun_multichip also covers
+    "test_distill.py::test_train_cli_with_distillation",       # 54s
+    "test_train_step.py::test_freeze_backbone",                # 52s
+    "test_model.py::test_efficientnet_lite_schedule",          # 47s; backbones_forward stays
+    "test_train_step.py::test_grad_accum_with_bn_trains",      # 45s
+    "test_model.py::test_groupnorm_backbone_trains_without_batch_stats",  # 38s
+    "test_summarize.py::test_report_physics",                  # 37s
+    "test_robustness.py::test_nms_fuzz_vs_oracle",             # 36s; oracle parity stays in test_nms*
+    "test_distill.py::test_zero_when_teacher_equals_student",  # 35s
+    "test_rectangular.py::test_rectangular_loss_per_level_matches_flat",  # 28s
+    "test_postprocess.py::test_cells_refine_full_overprovision_equals_exact_flat",  # 27s; cells-vs-flat stays
+    "test_eval.py::test_evaluator_coco_scale_timing",          # 24s timing soak
+    "test_serve.py::test_daemon_serves_tta_predictor",         # 21s; basic daemon stays
+    "test_serve.py::test_warmup_compiles_every_reachable_bucket",  # 20s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.nodeid.split("tests/")[-1]
+        # strip parametrization: tiers are per-test, not per-param
+        base = name.split("[")[0]
+        if name in HEAVY_TESTS or base in HEAVY_TESTS:
+            item.add_marker(pytest.mark.heavy)

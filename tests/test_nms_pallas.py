@@ -149,10 +149,10 @@ def test_sharded_nms_matches_unsharded(rng):
     from ssd_tpu.parallel import create_mesh
 
     mesh = create_mesh()  # 8 virtual CPU devices, (data, model) = (8, 1)
-    n = 2 * mesh.shape["data"]
-    boxes, scores = _random_instance(rng, n, 96, 3)
-    cfg = NMSConfig(score_threshold=0.25, iou_threshold=0.5, max_boxes=40,
-                    pre_nms_top_k=64)
+    n = mesh.shape["data"]  # one image per shard keeps interpret mode fast
+    boxes, scores = _random_instance(rng, n, 64, 3)
+    cfg = NMSConfig(score_threshold=0.25, iou_threshold=0.5, max_boxes=24,
+                    pre_nms_top_k=48)
     want = batched_nms_pallas(boxes, scores, cfg, interpret=True)
     got = batched_nms_pallas_sharded(boxes, scores, cfg, mesh,
                                      interpret=True)
