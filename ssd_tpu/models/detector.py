@@ -146,7 +146,7 @@ class SSDModel(nn.Module):
             compute_dtype=neck_dtype,
             final_kernel=cfg.model.head_final_kernel,
             name="head",
-        )(pyramid, flatten=flatten, trunk_only=trunk_only)
+        )(pyramid, flatten=flatten, trunk_only=trunk_only, train=train)
 
 
 class Detector:

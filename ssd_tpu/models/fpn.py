@@ -79,16 +79,20 @@ class Subnet(nn.Module):
     final_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x, trunk_only: bool = False):
+    def __call__(self, x, trunk_only: bool = False, train: bool = False):
         dt = _dtype(self.compute_dtype)
         for i in range(self.depth):
             x = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=dt,
                         param_dtype=jnp.float32, name=f"conv{i}")(x)
-            # Barrier: without it XLA chains conv_i -> conv_{i+1} into one
-            # double-conv fusion whose tiling runs at ~74% MXU vs ~97% for
-            # the single-conv emitters (round-4 trace, P3 level: 0.83 ms
-            # fused pair vs 2 x 0.32 ms split).
-            x = jax.lax.optimization_barrier(nn.relu(x))
+            x = nn.relu(x)
+            # Inference-only barrier: without it XLA chains conv_i ->
+            # conv_{i+1} into one double-conv fusion whose tiling runs at
+            # ~74% MXU vs ~97% for the single-conv emitters (round-4
+            # trace, P3: 0.83 ms fused pair vs 2 x 0.32 ms split). In
+            # TRAINING the fused form wins (bandwidth-bound backward), so
+            # the barrier is gated off there.
+            if not train:
+                x = jax.lax.optimization_barrier(x)
         if trunk_only:
             return x
         # Prediction conv stays in compute dtype: the (N, A, C) logits are
@@ -126,7 +130,7 @@ class RetinaHead(nn.Module):
 
     @nn.compact
     def __call__(self, pyramid: list, flatten: bool = True,
-                 trunk_only: bool = False):
+                 trunk_only: bool = False, train: bool = False):
         k = self.anchors_per_cell
         class_net = Subnet(
             self.depth, self.channels, k * self.num_classes,
@@ -147,13 +151,14 @@ class RetinaHead(nn.Module):
             cls_t, box_t = [], []
             for p in pyramid:
                 n, h, w, _ = p.shape
-                cls_t.append(class_net(p, trunk_only=True)
+                cls_t.append(class_net(p, trunk_only=True, train=train)
                              .reshape(n, h * w, self.channels))
-                box_t.append(box_net(p, trunk_only=True)
+                box_t.append(box_net(p, trunk_only=True, train=train)
                              .reshape(n, h * w, self.channels))
             return jnp.concatenate(cls_t, 1), jnp.concatenate(box_t, 1)
 
-        raw = [(class_net(p), box_net(p)) for p in pyramid]
+        raw = [(class_net(p, train=train),
+                box_net(p, train=train)) for p in pyramid]
         if not flatten:
             return raw
 

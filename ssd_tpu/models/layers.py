@@ -176,10 +176,14 @@ class DepthwiseSeparable(nn.Module):
             compute_dtype=self.compute_dtype, bn_momentum=self.bn_momentum,
             norm=self.norm, name="depthwise",
         )(x, train)
-        # Barrier: keeps XLA from chaining depthwise -> pointwise into one
-        # double-conv fusion, whose tiling measured well below the split
-        # emitters' (round-4 trace; same effect as in fpn.Subnet).
-        x = jax.lax.optimization_barrier(x)
+        # Inference-only barrier: keeps XLA from chaining depthwise ->
+        # pointwise into one double-conv fusion, whose tiling measured well
+        # below the split emitters' (round-4 trace; same effect as in
+        # fpn.Subnet). In TRAINING the fused form wins — splitting costs
+        # ~5 ms/step at b32/640 in the bandwidth-bound backward (extra
+        # activation round trips), so the barrier is gated off there.
+        if not train:
+            x = jax.lax.optimization_barrier(x)
         x = ConvBN(
             self.features, kernel_size=1,
             compute_dtype=self.compute_dtype, bn_momentum=self.bn_momentum,

@@ -67,7 +67,7 @@ class _FoldedS2DConv(nn.Module):
     fold_normalize: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 48, self.features), jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
@@ -81,12 +81,21 @@ class _FoldedS2DConv(nn.Module):
                 dimension_numbers=dn)
         std48 = jnp.asarray(np.tile(STD_RGB, 16), jnp.float32)
         wp = (kernel / std48[None, None, :, None]).astype(self.dtype)
-        # f32 accumulate/output: the mean-correction subtraction cancels a
-        # term of comparable magnitude, so the conv result must not round
-        # to bf16 before it (the convert fuses into the conv root).
-        y = jax.lax.conv_general_dilated(
-            xs, wp, (1, 1), "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+        # Eval/serve: f32 accumulate/output — the mean-correction
+        # subtraction cancels a term of comparable magnitude, so the conv
+        # result must not round to bf16 before it (the convert fuses into
+        # the conv root). Train: jax 0.9's conv transpose rule rejects
+        # mixed (bf16 operands, f32 cotangent) convs, so the
+        # differentiated path takes the plain same-dtype conv; its extra
+        # output rounding is ordinary bf16 conv noise pre-BN.
+        if train and self.dtype != jnp.float32:
+            y = jax.lax.conv_general_dilated(
+                xs, wp, (1, 1), "SAME", dimension_numbers=dn
+            ).astype(jnp.float32)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xs, wp, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
         corr = self._border_correction(
             wp.astype(jnp.float32), xs.shape[1], xs.shape[2])
         return (y - corr).astype(self.dtype)
@@ -153,7 +162,7 @@ class Dense4Stem(nn.Module):
         else:
             x = _FoldedS2DConv(self.features, dtype,
                                fold_normalize=self.fold_normalize,
-                               name="conv")(x)
+                               name="conv")(x, train)
         if self.norm == "group":
             x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]),
                              epsilon=BATCH_NORM_EPSILON, dtype=dtype,

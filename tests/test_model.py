@@ -244,3 +244,39 @@ def test_efficientnet_lite_schedule():
     taps_s = m_small.apply(m_small.init(jax.random.PRNGKey(0), x), x)
     assert taps_s["c5"].shape[-1] == 320
     assert taps_s["c3"].shape[-1] == 16  # _width(40, 0.5): floor to mult of 8
+
+
+def test_dense4_fold_normalize_gradients():
+    """The folded-normalize stem (raw uint8 input) must be differentiable
+    in bf16: jax 0.9's conv transpose rejects mixed-dtype
+    (preferred_element_type=f32) convs, so the train path lowers to the
+    same-dtype conv — regression for the round-4 summarize --train break."""
+    import dataclasses
+
+    cfg = Config(
+        num_classes=3, image_size=64,
+        model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                          fpn_channels=32, head_depth=1,
+                          stem_schedule="dense4",
+                          compute_dtype="bfloat16"),
+    )
+    det = Detector(cfg)
+    v = det.init(jax.random.PRNGKey(0))
+    batch = {
+        "images": np.zeros((2, 64, 64, 3), np.uint8),
+        "boxes": np.tile(np.array([0.2, 0.2, 0.8, 0.8], np.float32),
+                         (2, 4, 1)),
+        "labels": np.zeros((2, 4), np.int32),
+        "num_boxes": np.ones((2,), np.int32),
+    }
+
+    def loss_fn(params):
+        vv = dict(v)
+        vv["params"] = params
+        loss, _ = det.loss(vv, batch, train=True)
+        return loss
+
+    g = jax.grad(loss_fn)(v["params"])
+    stem_g = np.asarray(g["backbone"]["stem"]["conv"]["kernel"])
+    assert stem_g.shape == (3, 3, 48, 32)
+    assert np.isfinite(stem_g).all() and np.any(stem_g != 0)
