@@ -52,12 +52,18 @@ class ModelConfig:
     # logits+max head at inference (ops/fused_head.py) — the (N, A, C)
     # logits are never materialized.
     head_final_kernel: int = 3
-    # Conv compute dtype: bfloat16 | float32 | int8 (experimental;
-    # mobilenet-only calibration-free PTQ — measured SLOWER than bf16 on
-    # v5e for this bandwidth-bound model (732 vs 1008 img/s at b32/640):
-    # the quantize/dequantize elementwise passes outweigh the MXU savings.
-    # Kept for memory-constrained deployments and larger dense models.)
+    # Conv compute dtype: bfloat16 | float32 | int8.
+    # int8 alone quantizes the BACKBONE's dense convs (calibration-free:
+    # ReLU6 bounds every activation). Combined with ``int8_neck`` it
+    # quantizes the FPN + head too — where the FLOPs are — using
+    # calibrated activation scales (python -m ssd_tpu.quant). Training
+    # always runs bf16 regardless; int8 is an inference lowering of the
+    # same f32 parameter tree.
     compute_dtype: str = "bfloat16"
+    # Quantize the FPN and head subnets as well (requires a CALIBRATED
+    # artifact: their conv inputs are unbounded sums, so static bounds
+    # don't apply — see ssd_tpu/quant.py and the round-4 BENCHMARKS entry).
+    int8_neck: bool = False
     norm: str = "batch"  # batch | group
     bn_momentum: float = 0.997  # lower (e.g. 0.9) for short runs/tests
     # Space-to-depth stem: rearrange the 2x2-strided stem conv input as a

@@ -32,6 +32,14 @@ def save_inference_artifact(path: str, cfg: Config, variables: dict,
         "params": variables["params"],
         "batch_stats": variables.get("batch_stats", {}),
     }
+    if "quant" in variables:
+        # calibrated int8 activation scales (ssd_tpu/quant.py)
+        target["quant"] = variables["quant"]
+    elif getattr(cfg.model, "int8_neck", False):
+        raise ValueError(
+            "cfg.model.int8_neck is set but the variables carry no 'quant' "
+            "collection — calibrate first (ssd_tpu.quant.calibrate or "
+            "python -m ssd_tpu.quant)")
     ckpt.save(os.path.join(path, "variables"), target, force=True)
     ckpt.wait_until_finished()
 
@@ -229,6 +237,16 @@ def load_inference_artifact(path: str) -> tuple[Config, dict]:
         "params": abstract["params"],
         "batch_stats": abstract.get("batch_stats", {}),
     }
+    if getattr(cfg.model, "int8_neck", False):
+        # calibrated int8 artifact: the scale-tree STRUCTURE is a pure
+        # function of (cfg, image size), so eval_shape of one calibration
+        # step reconstructs the abstract target the artifact saved.
+        from ssd_tpu.quant import abstract_quant_tree
+        target["quant"] = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                           sharding=sharding),
+            abstract_quant_tree(det),
+        )
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(os.path.join(path, "variables"), target)
     return cfg, restored

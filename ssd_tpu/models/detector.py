@@ -56,10 +56,13 @@ def build_backbone(cfg: Config, fold_normalize: bool = False) -> nn.Module:
     m = cfg.model
     if fold_normalize and m.stem_schedule != "dense4":
         raise ValueError("fold_normalize is a dense4-stem lowering")
-    if m.compute_dtype == "int8" and m.backbone != "mobilenet":
+    if (m.compute_dtype == "int8" and m.backbone != "mobilenet"
+            and not m.int8_neck):
         raise ValueError(
-            "int8 inference relies on ReLU6-bounded activations; only the "
-            "mobilenet backbone supports it")
+            "uncalibrated int8 relies on ReLU6-bounded activations; only "
+            "the mobilenet backbone supports it. Other backbones need a "
+            "calibrated artifact: set model.int8_neck=true and run "
+            "python -m ssd_tpu.quant")
     stem_stride = 1 if m.stem_space_to_depth else 2
     if m.stem_schedule != "reference" and m.backbone != "mobilenet":
         raise ValueError(
@@ -131,10 +134,13 @@ class SSDModel(nn.Module):
         # lowering inside the backbone (models/mobilenet.Dense4Stem), so
         # no full-image reshape/transpose chain ever materializes.
         feats = build_backbone(cfg, fold_normalize=fold)(images, train)
-        # int8 is backbone-only: FPN/head activations are unbounded sums,
-        # so they run bf16 regardless.
-        neck_dtype = ("bfloat16" if cfg.model.compute_dtype == "int8"
-                      else cfg.model.compute_dtype)
+        # int8 without int8_neck is backbone-only: FPN/head activations
+        # are unbounded sums, so absent calibrated scales they run bf16.
+        # With int8_neck (calibrated artifact, ssd_tpu/quant.py) the whole
+        # serve path is quantized — the head is where the FLOPs are.
+        neck_dtype = cfg.model.compute_dtype
+        if cfg.model.compute_dtype == "int8" and not cfg.model.int8_neck:
+            neck_dtype = "bfloat16"
         pyramid = FPN(cfg.model.fpn_channels, neck_dtype,
                       name="fpn")(feats, train)
         head_channels = cfg.model.head_channels or cfg.model.fpn_channels

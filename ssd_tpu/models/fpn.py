@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ssd_tpu.constants import CLASS_PRIOR
-from ssd_tpu.models.layers import ConvBN, _dtype
+from ssd_tpu.models.layers import ConvBN, QuantConv, _dtype
 
 
 def _upsample_nearest(x: jnp.ndarray, target_hw: tuple[int, int]) -> jnp.ndarray:
@@ -44,10 +44,16 @@ class FPN(nn.Module):
         dt = self.compute_dtype
         c3, c4, c5 = feats["c3"], feats["c4"], feats["c5"]
 
+        # int8 neck (see ssd_tpu/quant.py): every FPN conv input is an
+        # unbounded sum (laterals read pre-bounded backbone taps, but the
+        # smooth/p6/p7 inputs are merges), so a calibrated scale is
+        # mandatory — no static ReLU6 fallback.
         lat = lambda name: ConvBN(self.channels, kernel_size=1, use_norm=False,
-                                  act=None, compute_dtype=dt, name=name)
+                                  act=None, compute_dtype=dt,
+                                  quant_require_scale=True, name=name)
         smooth = lambda name: ConvBN(self.channels, kernel_size=3, use_norm=False,
-                                     act=None, compute_dtype=dt, name=name)
+                                     act=None, compute_dtype=dt,
+                                     quant_require_scale=True, name=name)
 
         p5 = lat("lateral5")(c5, train)
         p4 = lat("lateral4")(c4, train) + _upsample_nearest(p5, c4.shape[1:3])
@@ -58,9 +64,11 @@ class FPN(nn.Module):
         p5 = smooth("smooth5")(p5, train)
 
         p6 = ConvBN(self.channels, kernel_size=3, strides=2, use_norm=False,
-                    act=None, compute_dtype=dt, name="p6")(c5, train)
+                    act=None, compute_dtype=dt, quant_require_scale=True,
+                    name="p6")(c5, train)
         p7 = ConvBN(self.channels, kernel_size=3, strides=2, use_norm=False,
-                    act=None, compute_dtype=dt, name="p7")(nn.relu(p6), train)
+                    act=None, compute_dtype=dt, quant_require_scale=True,
+                    name="p7")(nn.relu(p6), train)
         return [p3, p4, p5, p6, p7]
 
 
@@ -81,9 +89,20 @@ class Subnet(nn.Module):
     @nn.compact
     def __call__(self, x, trunk_only: bool = False, train: bool = False):
         dt = _dtype(self.compute_dtype)
+        # int8 inference (see ssd_tpu/quant.py): the head is where the
+        # FLOPs are (the P3 class predict conv alone is ~21% of serve
+        # device time), so these convs run int8 on the MXU at 2x rate.
+        # QuantConv's shape-keyed scales give the SHARED subnet a distinct
+        # calibrated scale per pyramid level. Param trees match nn.Conv.
+        quant = self.compute_dtype == "int8" and not train
         for i in range(self.depth):
-            x = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=dt,
-                        param_dtype=jnp.float32, name=f"conv{i}")(x)
+            if quant:
+                x = QuantConv(self.channels, 3, 1, use_bias=True,
+                              act_range=6.0, require_scale=True,
+                              name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=dt,
+                            param_dtype=jnp.float32, name=f"conv{i}")(x)
             x = nn.relu(x)
             # Inference-only barrier: without it XLA chains conv_i ->
             # conv_{i+1} into one double-conv fusion whose tiling runs at
@@ -98,6 +117,14 @@ class Subnet(nn.Module):
         # Prediction conv stays in compute dtype: the (N, A, C) logits are
         # the model's largest tensor (786MB at f32 for b32/640/80-class);
         # bf16 halves that HBM traffic. Loss/postprocess upcast to f32.
+        if quant:
+            return QuantConv(
+                self.out_channels, self.final_kernel, 1, use_bias=True,
+                act_range=6.0, require_scale=True,
+                bias_init=nn.initializers.constant(self.final_bias_init),
+                kernel_init=nn.initializers.normal(0.01),
+                name="predict",
+            )(x)
         x = nn.Conv(
             self.out_channels, (self.final_kernel, self.final_kernel),
             padding="SAME", dtype=dt,

@@ -45,9 +45,11 @@ class ConvBN(nn.Module):
     """3x3/1x1 conv + batch-norm + optional activation.
 
     ``compute_dtype="int8"`` (inference): dense (groups==1) convs run
-    int8 x int8 -> int32 on the MXU at 2x the bf16 rate. Activation scales
-    are STATIC — ReLU6 bounds every inter-layer activation to [0, 6]
-    (``act_range``) so no calibration pass is needed; weights use
+    int8 x int8 -> int32 on the MXU at 2x the bf16 rate. Activation
+    scales come from a calibration pass when present (the ``"quant"``
+    collection — see :mod:`ssd_tpu.quant`) and otherwise fall back to the
+    STATIC ``act_range`` bound (exact for ReLU6-bounded backbone
+    activations, so the backbone needs no calibration). Weights use
     per-output-channel absmax scales computed from the f32 params.
     Depthwise convs (VPU-bound) and norms/activations stay bf16.
     """
@@ -63,6 +65,10 @@ class ConvBN(nn.Module):
     norm: str = "batch"  # batch | group (group: batch-size independent,
     #                      no running stats — useful for tiny-batch training)
     act_range: float = 6.0  # |input| bound for int8 quantization
+    # int8: refuse the static act_range fallback — the input to this conv
+    # is an unbounded sum (FPN merges, head trunks), so serving without a
+    # calibrated scale would silently clip. See ssd_tpu/quant.py.
+    quant_require_scale: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -109,31 +115,82 @@ class ConvBN(nn.Module):
         return QuantConv(
             self.features, self.kernel_size, self.strides,
             use_bias=not self.use_norm, act_range=self.act_range,
+            require_scale=self.quant_require_scale,
             name="conv",
         )(x)
 
 
 class QuantConv(nn.Module):
-    """int8 x int8 -> int32 conv with static activation scale and
-    per-output-channel weight scales (see ConvBN docstring)."""
+    """int8 x int8 -> int32 conv, per-output-channel weight scales.
+
+    Activation-scale resolution, in priority order:
+
+    1. a calibrated per-input-shape scale from the ``"quant"`` collection,
+       keyed ``act_scale_{H}x{W}`` — shape-keying gives SHARED modules
+       (the head subnets, applied to every pyramid level) a distinct
+       scale per level for free;
+    2. the static ``act_range`` bound (exact for ReLU6-bounded backbone
+       activations) — unless ``require_scale`` forbids the fallback.
+
+    When the ``"quant"`` collection is mutable (a calibration pass:
+    ``apply(..., mutable=["quant"])`` — see :mod:`ssd_tpu.quant` — or
+    ``init``), the conv runs the full-precision bf16 path and folds the
+    observed ``max|x|`` into the stored scale instead.
+    """
 
     features: int
     kernel_size: int
     strides: int
     use_bias: bool
     act_range: float
+    require_scale: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
+            "kernel", self.kernel_init,
             (self.kernel_size, self.kernel_size, in_ch, self.features),
             jnp.float32,
         )
-        # static symmetric activation quantization
-        a_scale = self.act_range / 127.0
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        dn = ("NHWC", "HWIO", "NHWC")
+        key = f"act_scale_{x.shape[1]}x{x.shape[2]}"
+        static_scale = self.act_range / 127.0
+
+        if self.is_initializing() or self.is_mutable_collection("quant"):
+            # init: plain bf16 conv, and do NOT create scale variables —
+            # a default-valued scale would let require_scale convs serve
+            # silently wrong; absence forces a real calibration pass.
+            # calibration (mutable "quant"): record max|x| into the scale.
+            if not self.is_initializing():
+                sv = self.variable(
+                    "quant", key,
+                    lambda: jnp.asarray(static_scale, jnp.float32))
+                amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                sv.value = jnp.maximum(sv.value, amax / 127.0)
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+                (self.strides, self.strides), "SAME", dimension_numbers=dn)
+            return y if bias is None else y + bias.astype(y.dtype)
+
+        if self.has_variable("quant", key):
+            a_scale = self.variable(
+                "quant", key, lambda: jnp.asarray(static_scale, jnp.float32)
+            ).value
+        elif self.require_scale:
+            raise ValueError(
+                f"int8 conv {self.name!r} needs a calibrated activation "
+                f"scale for input {x.shape[1]}x{x.shape[2]} (its input is "
+                "an unbounded sum; the static ReLU6 bound does not apply). "
+                "Calibrate the artifact at this image size: "
+                "python -m ssd_tpu.quant (see ssd_tpu/quant.py).")
+        else:
+            a_scale = jnp.asarray(static_scale, jnp.float32)
+
         x_q = jnp.clip(
             jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
         ).astype(jnp.int8)
@@ -142,21 +199,17 @@ class QuantConv(nn.Module):
         k_scale = jnp.maximum(k_absmax / 127.0, 1e-8)  # (1,1,1,F)
         k_q = jnp.clip(jnp.round(kernel / k_scale), -127, 127).astype(jnp.int8)
 
-        dn = jax.lax.conv_dimension_numbers(
-            x_q.shape, k_q.shape, ("NHWC", "HWIO", "NHWC")
-        )
         y = jax.lax.conv_general_dilated(
             x_q, k_q, (self.strides, self.strides), "SAME",
             dimension_numbers=dn, preferred_element_type=jnp.int32,
         )
-        y = y.astype(jnp.bfloat16) * (
-            (a_scale * k_scale[0, 0, 0]).astype(jnp.bfloat16)
-        )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
-            y = y + bias.astype(jnp.bfloat16)
-        return y
+        # dequantize in f32 (the int32 accumulator can reach ~2^25; a bf16
+        # cast first would round 0.4% — the f32 multiply fuses into the
+        # conv epilogue either way), then bias, then down to bf16.
+        y = y.astype(jnp.float32) * (a_scale * k_scale[0, 0, 0])
+        if bias is not None:
+            y = y + bias
+        return y.astype(jnp.bfloat16)
 
 
 class DepthwiseSeparable(nn.Module):

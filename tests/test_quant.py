@@ -1,0 +1,150 @@
+"""int8 PTQ: calibration, full-path quantized inference, artifact flow.
+
+The scheme under test (ssd_tpu/quant.py + models/layers.QuantConv): the
+f32 parameter tree is UNCHANGED; weights quantize per-output-channel at
+trace time, activations per-tensor from calibrated scales stored in a
+"quant" collection (shape-keyed so the shared head subnets get one scale
+per pyramid level). Backbone-only int8 (static ReLU6 bounds) predates
+this and must keep working without any calibration.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssd_tpu.config import Config, ModelConfig
+from ssd_tpu.models.detector import Detector
+from ssd_tpu.quant import abstract_quant_tree, calibrate
+
+CFG32 = Config(
+    num_classes=4, image_size=128,
+    model=ModelConfig(backbone="mobilenet", width_multiplier=0.25,
+                      fpn_channels=32, head_depth=2,
+                      compute_dtype="float32"),
+)
+
+
+def _int8_cfg(base=CFG32, **model_kw):
+    kw = dict(compute_dtype="int8", int8_neck=True)
+    kw.update(model_kw)
+    return dataclasses.replace(
+        base, model=dataclasses.replace(base.model, **kw))
+
+
+def _images(n=4, size=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (n, size, size, 3)).astype(np.uint8)
+
+
+def _trained_like_vars(det, seed=0):
+    """init vars with non-degenerate BN stats so bf16/int8 deltas are
+    exercised on realistic activation magnitudes."""
+    v = det.init(jax.random.PRNGKey(seed))
+    return v
+
+
+def test_uncalibrated_neck_raises():
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(Detector(CFG32))
+    with pytest.raises(ValueError, match="calibrated activation scale"):
+        det8.apply(v, jnp.asarray(_images()))
+
+
+def test_calibrated_full_path_matches_f32():
+    det32 = Detector(CFG32)
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(det32)
+    imgs = _images()
+
+    qv, seen = calibrate(det8, v, [imgs])
+    assert seen == imgs.shape[0]
+    assert "quant" in qv and jax.tree_util.tree_leaves(qv["quant"])
+
+    l32, d32 = det32.apply(v, jnp.asarray(imgs))
+    l8, d8 = det8.apply(qv, jnp.asarray(imgs))
+    # init-weight logits are bias-dominated; require tight absolute error
+    assert np.abs(np.asarray(l32, np.float32)
+                  - np.asarray(l8, np.float32)).max() < 0.05
+    assert np.abs(np.asarray(d32, np.float32)
+                  - np.asarray(d8, np.float32)).max() < 0.05
+
+
+def test_head_scales_are_per_level():
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(Detector(CFG32))
+    qv, _ = calibrate(det8, v, [_images()])
+    head = qv["quant"]["head"]["class_net"]["conv0"]
+    # 128px model: P3..P7 = 16, 8, 4, 2, 1 — one scale per level
+    assert sorted(head.keys()) == [
+        "act_scale_16x16", "act_scale_1x1", "act_scale_2x2",
+        "act_scale_4x4", "act_scale_8x8"]
+
+
+def test_calibration_scales_only_widen():
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(Detector(CFG32))
+    qv1, _ = calibrate(det8, v, [_images(seed=1)])
+    qv2, _ = calibrate(det8, qv1, [np.zeros((2, 128, 128, 3), np.uint8)])
+    s1 = jax.tree_util.tree_leaves(qv1["quant"])
+    s2 = jax.tree_util.tree_leaves(qv2["quant"])
+    for a, b in zip(s1, s2):
+        assert float(b) >= float(a) - 1e-9
+
+
+def test_backbone_only_needs_no_calibration():
+    cfg8 = dataclasses.replace(
+        CFG32, model=dataclasses.replace(CFG32.model, compute_dtype="int8"))
+    det32, det8 = Detector(CFG32), Detector(cfg8)
+    v = _trained_like_vars(det32)
+    imgs = jnp.asarray(_images())
+    l32, _ = det32.apply(v, imgs)
+    l8, _ = det8.apply(v, imgs)  # no "quant" collection at all
+    assert np.abs(np.asarray(l32, np.float32)
+                  - np.asarray(l8, np.float32)).max() < 0.3
+
+
+def test_artifact_round_trip_and_predictor(tmp_path):
+    from ssd_tpu.export import load_inference_artifact
+    from ssd_tpu.predictor import Predictor
+    from ssd_tpu.quant import quantize_artifact
+    from ssd_tpu.export import save_inference_artifact
+
+    det32 = Detector(CFG32)
+    v = _trained_like_vars(det32)
+    src = str(tmp_path / "export")
+    save_inference_artifact(src, CFG32, v)
+
+    dst = str(tmp_path / "export_int8")
+    quantize_artifact(src, dst, [_images()])
+
+    cfg, qv = load_inference_artifact(dst)
+    assert cfg.model.compute_dtype == "int8" and cfg.model.int8_neck
+    assert "quant" in qv
+    det8 = Detector(cfg)
+    out = det8.predict(qv, jnp.asarray(_images(n=2)))
+    assert out.boxes.shape[-1] == 4
+
+    p = Predictor.from_checkpoint(dst)
+    r = p.predict(_images(n=1)[0])
+    assert "num_boxes" in r
+
+
+def test_int8_neck_export_without_quant_raises(tmp_path):
+    from ssd_tpu.export import save_inference_artifact
+
+    det32 = Detector(CFG32)
+    v = _trained_like_vars(det32)
+    with pytest.raises(ValueError, match="quant"):
+        save_inference_artifact(str(tmp_path / "x"), _int8_cfg(), v)
+
+
+def test_abstract_quant_tree_matches_calibrated():
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(Detector(CFG32))
+    qv, _ = calibrate(det8, v, [_images()])
+    ab = abstract_quant_tree(det8)
+    assert (jax.tree_util.tree_structure(ab)
+            == jax.tree_util.tree_structure(qv["quant"]))
