@@ -116,8 +116,7 @@ class SSDModel(nn.Module):
         # copy + halved the stem conv's input bytes at b32/640, round-4
         # trace); every other path normalizes inline, same as callers that
         # pre-normalize.
-        fold = (raw_input and cfg.model.stem_schedule == "dense4"
-                and cfg.model.compute_dtype != "int8")
+        fold = raw_input and cfg.model.stem_schedule == "dense4"
         if raw_input and not fold:
             # Always bf16, matching the historical pre-raw_input behavior
             # (callers normalized with the default dtype): f32 models still

@@ -108,9 +108,11 @@ class Subnet(nn.Module):
             # conv_{i+1} into one double-conv fusion whose tiling runs at
             # ~74% MXU vs ~97% for the single-conv emitters (round-4
             # trace, P3: 0.83 ms fused pair vs 2 x 0.32 ms split). In
-            # TRAINING the fused form wins (bandwidth-bound backward), so
-            # the barrier is gated off there.
-            if not train:
+            # TRAINING the fused form wins (bandwidth-bound backward); in
+            # INT8 the next conv's requantize is the fusion break already
+            # (a barrier would strand it as its own loop fusion), so both
+            # gate it off.
+            if not train and not quant:
                 x = jax.lax.optimization_barrier(x)
         if trunk_only:
             return x

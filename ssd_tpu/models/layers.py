@@ -234,8 +234,11 @@ class DepthwiseSeparable(nn.Module):
         # below the split emitters' (round-4 trace; same effect as in
         # fpn.Subnet). In TRAINING the fused form wins — splitting costs
         # ~5 ms/step at b32/640 in the bandwidth-bound backward (extra
-        # activation round trips), so the barrier is gated off there.
-        if not train:
+        # activation round trips) — and in INT8 the pointwise conv's
+        # requantize pass is the fusion break already; a barrier between
+        # them strands the requant as its own full-map loop fusion
+        # (round-4 int8 trace: 0.34 ms at 160x160), so both gate it off.
+        if not train and self.compute_dtype != "int8":
             x = jax.lax.optimization_barrier(x)
         x = ConvBN(
             self.features, kernel_size=1,

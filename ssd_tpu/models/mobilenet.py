@@ -101,7 +101,7 @@ class _FoldedS2DConv(nn.Module):
         return (y - corr).astype(self.dtype)
 
     @staticmethod
-    def _border_correction(wp_f32, ph: int, pw: int):
+    def _border_correction(wp_f32, ph: int, pw: int, const48=None):
         """conv(mean_image, wp) under the same zero-padding, cheaply.
 
         ``y - corr`` then equals ``conv(x - mean, wp)`` with the padded
@@ -113,7 +113,10 @@ class _FoldedS2DConv(nn.Module):
         probe below 5 packed cells where edge windows overlap.
         """
         dn = ("NHWC", "HWIO", "NHWC")
-        mean48 = jnp.asarray(np.tile(MEAN_RGB, 16), jnp.float32)
+        # default constant: the packed ImageNet mean. The int8 stem passes
+        # const48 = 128 - mean and ADDS the map (see _Int8FoldedS2DConv).
+        mean48 = (jnp.asarray(np.tile(MEAN_RGB, 16), jnp.float32)
+                  if const48 is None else const48)
         if ph < 5 or pw < 5:
             img = jnp.broadcast_to(mean48, (1, ph, pw, 48))
             return jax.lax.conv_general_dilated(
@@ -132,6 +135,56 @@ class _FoldedS2DConv(nn.Module):
                 [first, jnp.broadcast_to(mid, shape), last], axis)
 
         return expand(expand(probe, ph, 0), pw, 1)[None]
+
+
+class _Int8FoldedS2DConv(nn.Module):
+    """int8 lowering of the folded dense4 stem conv — EXACT-integer input.
+
+    Raw uint8 pixels ARE int8-exact after a -128 shift, so the stem needs
+    no activation quantization at all: the packing runs as a u8 x u8
+    one-hot conv whose epilogue subtracts 128 (no space-to-depth layout
+    copies, no normalized full-resolution image — the round-4 int8 trace
+    priced those at ~2.5 ms/batch at b32/640), and the 3x3 main conv runs
+    s8 x s8 -> s32 on the MXU at 2x the bf16 rate with the ImageNet
+    normalize affine folded into its per-channel weight scales:
+
+        conv((x - mean)/std, w) = conv(x - 128, w/std)
+                                  + border_sum((128 - mean) * w/std)
+
+    The correction map uses the DEQUANTIZED weights, so the only error vs
+    the bf16 folded path is the weight rounding itself (~0.4% relative).
+    Same ``(3, 3, 48, features)`` param tree as _FoldedS2DConv.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):  # x: raw uint8 (N, H, W, 3)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 48, self.features), jnp.float32)
+        dn = ("NHWC", "HWIO", "NHWC")
+        pack = jnp.asarray(_s2d_pack_kernel(), jnp.uint8)
+        xs = jax.lax.conv_general_dilated(
+            x, pack, (4, 4), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        xs = (xs - 128).astype(jnp.int8)  # exact: pixel values fit s8
+
+        std48 = jnp.asarray(np.tile(STD_RGB, 16), jnp.float32)
+        wp = kernel / std48[None, None, :, None]
+        k_absmax = jnp.max(jnp.abs(wp), axis=(0, 1, 2), keepdims=True)
+        k_scale = jnp.maximum(k_absmax / 127.0, 1e-8)
+        k_q = jnp.clip(jnp.round(wp / k_scale), -127, 127).astype(jnp.int8)
+
+        y = jax.lax.conv_general_dilated(
+            xs, k_q, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * k_scale[0, 0, 0]
+
+        shift48 = 128.0 - jnp.asarray(np.tile(MEAN_RGB, 16), jnp.float32)
+        corr = _FoldedS2DConv._border_correction(
+            k_q.astype(jnp.float32) * k_scale, xs.shape[1], xs.shape[2],
+            const48=shift48)
+        return (y + corr).astype(jnp.bfloat16)
 
 
 class Dense4Stem(nn.Module):
@@ -155,7 +208,13 @@ class Dense4Stem(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dtype = _dtype(self.compute_dtype)
-        if self.compute_dtype == "int8" and not train:
+        if (self.compute_dtype == "int8" and not train
+                and self.fold_normalize):
+            # raw uint8 input: exact-integer int8 lowering, no explicit
+            # space-to-depth, normalize folded into the weight scales
+            x = _Int8FoldedS2DConv(self.features, name="conv")(x)
+        elif self.compute_dtype == "int8" and not train:
+            # pre-normalized bf16 input (callers that normalize themselves)
             x = space_to_depth(x, 4)
             x = QuantConv(self.features, 3, 1, use_bias=False,
                           act_range=self.act_range, name="conv")(x)

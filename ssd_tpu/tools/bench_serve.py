@@ -46,6 +46,15 @@ def main() -> None:
 
     det = Detector(cfg)
     variables = det.init(jax.random.PRNGKey(0))
+    if cfg.model.compute_dtype == "int8" and cfg.model.int8_neck:
+        # throughput is scale-independent; one noise batch builds the
+        # calibrated "quant" tree the int8 predict path requires
+        import numpy as np
+
+        from ssd_tpu.quant import calibrate
+        noise = np.random.default_rng(0).integers(
+            0, 255, (2,) + cfg.image_hw() + (3,)).astype(np.uint8)
+        variables, _ = calibrate(det, variables, [noise])
 
     @jax.jit
     def predict(variables, images):
