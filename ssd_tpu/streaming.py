@@ -94,6 +94,16 @@ class StreamingDetector:
             from ssd_tpu.data import native
             frame = native.resize(np.ascontiguousarray(frame), ih, iw)
         out = self._predict(self.variables, jnp.asarray(frame))
+        # Queue the device->host copy NOW (it runs as soon as the step
+        # finishes) so _fetch_one's device_get finds the data already on
+        # host instead of paying a blocking round trip per frame — through
+        # a tunneled/remote device that round trip dominated the measured
+        # frame rate (round-1: 10 fps RPC-bound at 1024px).
+        for leaf in jax.tree_util.tree_leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # non-array leaf / older jax
+                pass
         self._inflight.append((time.perf_counter(), out))
         while len(self._inflight) > self.depth:
             yield self._fetch_one()

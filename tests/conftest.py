@@ -50,7 +50,9 @@ def rng():
 # Centralized here (not per-file decorators) so the tier is one auditable
 # list; durations from the round-4 full run (/tmp-host, 1 core).
 HEAVY_TESTS = {
-    "test_losses.py::test_per_level_loss_matches_flat",        # 97s; giou variant stays
+    "test_losses.py::test_per_level_loss_matches_flat",        # 97s; ops-level variant stays
+    "test_losses.py::test_giou_per_level_matches_flat",        # 158s; ops-level variant stays
+    "test_import_tf.py::test_tf_checkpoint_with_name_map",     # 28s; keras-CLI + serve paths stay
     "test_model.py::test_int8_backbone_agrees_with_f32",       # 80s
     "test_train_step.py::test_grad_accum_matches_full_batch",  # 75s
     "test_distill.py::test_train_step_with_teacher",           # 63s

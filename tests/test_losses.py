@@ -246,6 +246,67 @@ def test_iou_box_loss_gradients_finite_on_degenerates():
         assert np.isfinite(np.asarray(g)).all(), kind
 
 
+def test_giou_per_level_matches_flat_ops_level():
+    """Fast ops-level version of the detector soak below: the per-level
+    loss layout must be a pure layout optimization for giou (values AND
+    gradients wrt the raw head maps), with no conv stack in the way."""
+    from ssd_tpu.config import MatcherConfig
+
+    n, k, c = 2, 2, 3
+    level_hw = [(4, 4), (2, 2)]
+    a_total = sum(h * w * k for h, w in level_hw)
+
+    rng = np.random.default_rng(0)
+    # plausible anchors: centers on the level grids, fixed extents
+    anchors = []
+    for h, w in level_hw:
+        cy, cx = np.meshgrid(np.linspace(0.1, 0.9, h),
+                             np.linspace(0.1, 0.9, w), indexing="ij")
+        for s in (0.15, 0.3)[:k]:
+            anchors.append(np.stack([cy - s, cx - s, cy + s, cx + s],
+                                    -1).reshape(-1, 4))
+    anchors = jnp.asarray(np.concatenate(anchors, 0).astype(np.float32))
+    assert anchors.shape == (a_total, 4)
+
+    gt_boxes = jnp.asarray(np.array(
+        [[[0.1, 0.1, 0.6, 0.5], [0.4, 0.4, 0.9, 0.9]],
+         [[0.3, 0.2, 0.9, 0.8], [0.0, 0.0, 0.0, 0.0]]], np.float32))
+    gt_labels = jnp.asarray(np.array([[0, 2], [1, 0]], np.int32))
+    num_boxes = jnp.asarray(np.array([2, 1], np.int32))
+    cfg = LossConfig(box_loss="giou")
+    mcfg = MatcherConfig()
+
+    t_flat = create_targets(anchors, gt_boxes, gt_labels, num_boxes, c,
+                            mcfg, class_onehot=True)
+    t_lvl = create_targets(anchors, gt_boxes, gt_labels, num_boxes, c,
+                           mcfg, class_onehot=False)
+
+    raw = [(jnp.asarray(rng.normal(size=(n, h, w, k * c)), jnp.float32),
+            jnp.asarray(rng.normal(size=(n, h, w, k * 4)) * 0.3,
+                        jnp.float32)) for h, w in level_hw]
+
+    def flat_total(raw_levels):
+        logits = jnp.concatenate(
+            [cm.reshape(n, -1, c) for cm, _ in raw_levels], 1)
+        deltas = jnp.concatenate(
+            [bm.reshape(n, -1, 4) for _, bm in raw_levels], 1)
+        return losses.detection_loss(logits, deltas, t_flat, cfg,
+                                     anchors=anchors).total
+
+    def lvl_total(raw_levels):
+        return losses.detection_loss_levels(raw_levels, t_lvl, c, cfg,
+                                            anchors=anchors).total
+
+    l_flat, g_flat = jax.value_and_grad(flat_total)(raw)
+    l_lvl, g_lvl = jax.value_and_grad(lvl_total)(raw)
+    assert float(l_flat) > 0.0
+    np.testing.assert_allclose(float(l_flat), float(l_lvl), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        g_flat, g_lvl)
+
+
 def test_giou_per_level_matches_flat():
     """The per-level layout must stay a pure layout optimization for the
     IoU-family losses too (values and gradients)."""
