@@ -82,27 +82,16 @@ def _bench_config(cfg):
 
     images = jnp.zeros((BATCH, cfg.image_size, cfg.image_size, 3), jnp.uint8)
 
-    # AUTO input layout: XLA picks the image layout the stem conv wants, so
-    # no relayout copy runs inside the program; the (one-time) device_put
-    # below writes that layout. device_put can SILENTLY produce a different
-    # layout when the runtime's relayout path does not support the
-    # requested tiling (observed through the tunneled device: asking for
-    # major_to_minor=(1,2,3,0)/(4,128) uint8 returned (0,3,1,2)/(8,128),
-    # and the subsequent call raised a layout-mismatch ValueError), so
-    # verify the produced layout and run one guarded call before trusting
-    # the AUTO path; otherwise measure the default-layout program (the
-    # relayout copy then runs inside it, which is what serving pays too).
-    try:
-        from jax.experimental.layout import Format, Layout
-        jf = jax.jit(predict, in_shardings=(None, Format(Layout.AUTO)))
-        auto_compiled = jf.lower(variables, images).compile()
-        want = auto_compiled.input_formats[0][1]
-        staged = jax.device_put(images, want)
-        if staged.format.layout != want.layout:
-            raise ValueError("runtime cannot materialize the AUTO layout")
-        jax.block_until_ready(auto_compiled(variables, staged))
-        compiled, images = auto_compiled, staged
-    except Exception:  # pragma: no cover - older jax / no relayout support
+    # Guarded AUTO input layout — the SAME helper the serving layer uses
+    # (Predictor/StreamingDetector), so the headline measures the feed
+    # deployments actually get; on fallback both measure the
+    # default-layout program (relayout copy in-program). Rationale and the
+    # observed silent-relayout failure: ssd_tpu/utils/layout.py.
+    from ssd_tpu.utils.layout import compile_auto_layout
+    auto_compiled, stage = compile_auto_layout(predict, variables, images)
+    if auto_compiled is not None:
+        compiled, images = auto_compiled, stage(images)
+    else:  # pragma: no cover - older jax / no relayout support
         compiled = jax.jit(predict).lower(variables, images).compile()
 
     ca = compiled.cost_analysis()
@@ -202,11 +191,32 @@ def main() -> None:
         with open(REF_FILE) as f:
             ref = float(json.load(f)["images_per_sec"])
 
+    # ---- accuracy smoke (machine-captured mAP drift detector): the
+    # committed tiny artifact scored on its seed-derived val scenes, bf16
+    # AND through the real int8 calibration path (eval/sanity.py). The
+    # absolute value is task-specific; only round-over-round drift on the
+    # same protocol is meaningful.
+    sanity_bf16 = sanity_int8 = None
+    try:
+        from ssd_tpu.eval.sanity import evaluate_artifact_map
+        sanity_bf16 = evaluate_artifact_map()
+        sanity_int8 = evaluate_artifact_map(int8=True)
+    except Exception:  # pragma: no cover - keep the headline robust
+        pass
+
+    # Metric name carries the serving dtype (ADVICE r4): the headline is
+    # the SHIPPED serving config (int8 when it built), and renaming keeps
+    # the cross-round time series honest — int8 rows never masquerade as
+    # the bf16 series (bf16_* fields carry that series alongside).
+    metric = "images_per_sec_per_chip_640x640_b32_mobilenet_fpn"
+    if mxu_util_int8 is not None:
+        metric += "_int8"
     out = {
-        "metric": "images_per_sec_per_chip_640x640_b32_mobilenet_fpn",
+        "metric": metric,
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / ref, 2),
+        "bf16_vs_baseline": round(bf16_img_s / ref, 2),
         "p50_batch_ms": round(p50, 3),
         "p99_batch_ms": round(p99, 3),
         "p50_postprocess_ms": round(_percentile(post_ms, 0.50), 3),
@@ -219,6 +229,10 @@ def main() -> None:
     }
     if mxu_util_int8 is not None:
         out["mxu_util_int8"] = round(mxu_util_int8, 4)
+    if sanity_bf16 is not None:
+        out["sanity_map"] = round(sanity_bf16, 4)
+    if sanity_int8 is not None:
+        out["sanity_map_int8"] = round(sanity_int8, 4)
     print(json.dumps(out))
 
 

@@ -120,6 +120,19 @@ class ConvBN(nn.Module):
         )(x)
 
 
+# Calibration clipping mode, set by ssd_tpu.quant.calibrate (trace-time
+# Python state: each calibration call retraces its jitted apply, so a
+# module global is visible exactly where it must be). None = absmax;
+# a float (e.g. 99.9) = per-batch percentile of |x|, max-accumulated
+# across batches — clips the extreme activation tail for a finer grid.
+_CALIBRATION_PERCENTILE: float | None = None
+
+
+def set_calibration_percentile(p: float | None) -> None:
+    global _CALIBRATION_PERCENTILE
+    _CALIBRATION_PERCENTILE = p
+
+
 class QuantConv(nn.Module):
     """int8 x int8 -> int32 conv, per-output-channel weight scales.
 
@@ -167,10 +180,16 @@ class QuantConv(nn.Module):
             # silently wrong; absence forces a real calibration pass.
             # calibration (mutable "quant"): record max|x| into the scale.
             if not self.is_initializing():
+                # Seed at 0 and max-accumulate the OBSERVED range only: a
+                # static-floor seed (act_range/127) would coarsen the grid
+                # for inputs whose true range is well below the bound, and
+                # would mask a calibration pass that saw no data for this
+                # shape key. The static bound stays serve-time-fallback-only.
                 sv = self.variable(
-                    "quant", key,
-                    lambda: jnp.asarray(static_scale, jnp.float32))
-                amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    "quant", key, lambda: jnp.asarray(0.0, jnp.float32))
+                ax = jnp.abs(x.astype(jnp.float32))
+                amax = (jnp.max(ax) if _CALIBRATION_PERCENTILE is None
+                        else jnp.percentile(ax, _CALIBRATION_PERCENTILE))
                 sv.value = jnp.maximum(sv.value, amax / 127.0)
             y = jax.lax.conv_general_dilated(
                 x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
@@ -181,6 +200,9 @@ class QuantConv(nn.Module):
             a_scale = self.variable(
                 "quant", key, lambda: jnp.asarray(static_scale, jnp.float32)
             ).value
+            # calibration seeds at 0 and widens from data; an (unlikely)
+            # all-zero calibration input must not divide by zero at serve
+            a_scale = jnp.maximum(a_scale, 1e-8)
         elif self.require_scale:
             raise ValueError(
                 f"int8 conv {self.name!r} needs a calibrated activation "

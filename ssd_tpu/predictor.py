@@ -129,9 +129,22 @@ class Predictor:
     # -------------------------------------------------------------- serving
 
     def _fn_for_batch(self, n: int):
+        """-> (callable, stage) for a batch bucket; ``stage`` puts host
+        images in the input layout the compiled program wants (the guarded
+        AUTO-layout feed — utils/layout.py; ~0.5 ms/batch at b32/640)."""
         if n not in self._jitted:
             if self.mesh is None:
-                self._jitted[n] = jax.jit(self.detector.predict)
+                fn, stage = jax.jit(self.detector.predict), jnp.asarray
+                from ssd_tpu.utils.layout import (compile_auto_layout,
+                                                  want_auto_layout)
+                if want_auto_layout():
+                    dummy = jnp.zeros(
+                        (n,) + self.cfg.image_hw() + (3,), jnp.uint8)
+                    compiled, st = compile_auto_layout(
+                        self.detector.predict, self.variables, dummy)
+                    if compiled is not None:
+                        fn, stage = compiled, st
+                self._jitted[n] = (fn, stage)
             else:
                 from ssd_tpu.parallel.mesh import replicated
                 mesh = self.mesh  # static: the NMS kernel shard_maps over
@@ -142,7 +155,7 @@ class Predictor:
                                   self._batch_sharding),
                     out_shardings=replicated(self.mesh),
                 )
-                self._jitted[n] = fn
+                self._jitted[n] = (fn, jnp.asarray)
         return self._jitted[n]
 
     def _min_bucket(self) -> int:
@@ -212,7 +225,8 @@ class Predictor:
                 [images, np.zeros((bucket - n,) + images.shape[1:], np.uint8)]
             )
 
-        out = self._fn_for_batch(bucket)(self.variables, jnp.asarray(images))
+        fn, stage = self._fn_for_batch(bucket)
+        out = fn(self.variables, stage(images))
         return {"out": out, "n": n, "valid_frac": valid_frac,
                 "single": single}
 
@@ -248,9 +262,8 @@ class Predictor:
         """Pre-compile for a batch size's bucket (avoids first-call latency)."""
         bucket = self._bucket_for(batch_size)
         dummy = jnp.zeros((bucket,) + self.cfg.image_hw() + (3,), jnp.uint8)
-        jax.block_until_ready(
-            self._fn_for_batch(bucket)(self.variables, dummy)
-        )
+        fn, stage = self._fn_for_batch(bucket)
+        jax.block_until_ready(fn(self.variables, stage(dummy)))
 
 
 def _main() -> None:

@@ -58,7 +58,8 @@ def abstract_quant_tree(det):
     return jax.eval_shape(f)
 
 
-def calibrate(det, variables: dict, batches) -> dict:
+def calibrate(det, variables: dict, batches,
+              percentile: float | None = None) -> dict:
     """Observe activation ranges over ``batches``.
 
     Returns ``(variables-with-"quant"-scales, images_seen)``.
@@ -68,7 +69,13 @@ def calibrate(det, variables: dict, batches) -> dict:
     Scales accumulate with ``max`` across batches, so calibrating in
     several calls (or refreshing an already-calibrated artifact with new
     data) only ever widens ranges.
+
+    ``percentile``: None (default) clips at the observed absmax; a float
+    (e.g. 99.9) clips each batch at that percentile of |x| instead —
+    trades saturation of the extreme tail for a finer grid on the bulk
+    (see the calibration-robustness table in BENCHMARKS.md round 5).
     """
+    from ssd_tpu.models.layers import set_calibration_percentile
 
     @jax.jit
     def first(v, images):
@@ -85,11 +92,15 @@ def calibrate(det, variables: dict, batches) -> dict:
     base = {k: v for k, v in variables.items() if k != "quant"}
     quant = variables.get("quant")
     seen = 0
-    for images in batches:
-        images = jnp.asarray(images)
-        quant = (first(base, images) if quant is None
-                 else update(base, quant, images))
-        seen += images.shape[0]
+    set_calibration_percentile(percentile)
+    try:
+        for images in batches:
+            images = jnp.asarray(images)
+            quant = (first(base, images) if quant is None
+                     else update(base, quant, images))
+            seen += images.shape[0]
+    finally:
+        set_calibration_percentile(None)
     if quant is None:
         raise ValueError("calibrate() got no batches")
     if not jax.tree_util.tree_leaves(quant):
@@ -100,7 +111,8 @@ def calibrate(det, variables: dict, batches) -> dict:
 
 
 def quantize_artifact(export_dir: str, output_dir: str, batches,
-                      int8_neck: bool = True) -> dict:
+                      int8_neck: bool = True,
+                      percentile: float | None = None) -> dict:
     """bf16/f32 inference artifact -> calibrated int8 artifact."""
     import os
     import shutil
@@ -114,7 +126,8 @@ def quantize_artifact(export_dir: str, output_dir: str, batches,
         cfg.model, compute_dtype="int8", int8_neck=int8_neck))
     if int8_neck:
         det = Detector(qcfg)
-        qvars, seen = calibrate(det, variables, batches)
+        qvars, seen = calibrate(det, variables, batches,
+                                percentile=percentile)
     else:
         # backbone-only is a pure config flip: static ReLU6 scales need
         # no stored state, so the artifact carries no "quant" collection.
@@ -172,6 +185,9 @@ def main() -> None:
     p.add_argument("--backbone-only", action="store_true",
                    help="quantize only the backbone (calibration-free "
                         "static ReLU6 scales; FPN/head stay bf16)")
+    p.add_argument("--percentile", type=float, default=None,
+                   help="clip calibration at this percentile of |x| per "
+                        "batch instead of absmax (e.g. 99.9)")
     args = p.parse_args()
     if not args.data and not args.images and not args.backbone_only:
         p.error("calibration needs --data or --images "
@@ -189,7 +205,8 @@ def main() -> None:
     else:
         batches = []  # backbone-only: no calibration needed
     quantize_artifact(args.export, args.output, batches,
-                      int8_neck=not args.backbone_only)
+                      int8_neck=not args.backbone_only,
+                      percentile=args.percentile)
 
 
 if __name__ == "__main__":

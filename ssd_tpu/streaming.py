@@ -65,13 +65,28 @@ class StreamingDetector:
             self._predict = jax.jit(
                 lambda v, im: self.detector.predict(v, im[None])
             )
+        self._stage = jnp.asarray
         self._inflight: collections.deque = collections.deque()
         self._lat = collections.deque(maxlen=256)
         self._done_t = collections.deque(maxlen=256)  # result-fetch times
 
     def warmup(self) -> None:
         ih, iw = self.cfg.image_hw()
-        out = self._predict(self.variables, jnp.zeros((ih, iw, 3), jnp.uint8))
+        dummy = jnp.zeros((ih, iw, 3), jnp.uint8)
+        if self.mesh is None:
+            # guarded AUTO-layout feed (utils/layout.py): stage each frame
+            # in the stem conv's preferred layout so no relayout copy runs
+            # inside the per-frame program
+            from ssd_tpu.utils.layout import (compile_auto_layout,
+                                              want_auto_layout)
+            if want_auto_layout():
+                compiled, stage = compile_auto_layout(
+                    lambda v, im: self.detector.predict(v, im[None]),
+                    self.variables, dummy)
+                if compiled is not None:
+                    self._predict, self._stage = compiled, stage
+                    return
+        out = self._predict(self.variables, dummy)
         jax.block_until_ready(out)
 
     def _fetch_one(self) -> dict:
@@ -93,7 +108,7 @@ class StreamingDetector:
         if frame.shape[:2] != (ih, iw):
             from ssd_tpu.data import native
             frame = native.resize(np.ascontiguousarray(frame), ih, iw)
-        out = self._predict(self.variables, jnp.asarray(frame))
+        out = self._predict(self.variables, self._stage(frame))
         # Queue the device->host copy NOW (it runs as soon as the step
         # finishes) so _fetch_one's device_get finds the data already on
         # host instead of paying a blocking round trip per frame — through

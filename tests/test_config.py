@@ -30,10 +30,33 @@ def test_shapes_are_pure_functions_of_config():
 
 
 def test_shipped_configs_load():
-    for name in ["coco_mobilenet_640", "coco_shufflenet_512",
-                 "coco_retinanet_resnet50_640", "streaming_1024"]:
-        cfg = Config.load(f"configs/{name}.json")
-        assert cfg.num_classes == 80
+    """Every shipped config loads and instantiates a coherent Detector.
+
+    Globbed (not hardcoded) so a new config — or a stray key edit in an
+    existing one — can't ship unvalidated; Detector(cfg) builds the anchor
+    grid, so this also checks feature-map/anchor shape coherence.
+    """
+    import glob
+    import os
+
+    from ssd_tpu.models.detector import Detector
+
+    paths = sorted(glob.glob("configs/*.json"))
+    assert len(paths) >= 8, paths
+    for p in paths:
+        cfg = Config.load(p)
+        assert cfg.num_classes == 80, p
+        det = Detector(cfg)
+        expected = cfg.num_anchors()
+        assert det.anchors.shape == (expected, 4), (p, det.anchors.shape)
+        fms = cfg.feature_map_sizes()
+        assert expected == sum(h * w for h, w in fms) * (
+            len(cfg.anchors.aspect_ratios) * cfg.anchors.scales_per_octave
+        ), p
+        # the flagship recipe must keep the measured-winning knobs on
+        if os.path.basename(p) == "coco_mobilenet_640_flagship.json":
+            assert cfg.model.stem_schedule == "dense4", p
+            assert cfg.losses.box_loss == "giou", p
 
 
 def test_lists_become_tuples():

@@ -46,6 +46,36 @@ def _trained_like_vars(det, seed=0):
     return v
 
 
+def _perturbed_vars(det, seed=0, scale=0.05):
+    """init + noise on every kernel: at exact init weights the head logits
+    are bias-dominated and ReLU6-saturated, so an absolute-logit parity
+    bound would pass under a real clipping regression. Perturbed weights
+    make the logits activation-dominated."""
+    v = _trained_like_vars(det, seed)
+    leaves, treedef = jax.tree_util.tree_flatten(v["params"])
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), len(leaves))
+    leaves = [
+        leaf + scale * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if leaf.ndim >= 2 else leaf
+        for leaf, k in zip(leaves, keys)
+    ]
+    return dict(v, params=jax.tree_util.tree_unflatten(treedef, leaves))
+
+
+def _serving_forward(det, v, imgs):
+    """The REAL serving forward: raw uint8 in, normalization inside —
+    the same path calibrate() observes and predict() runs. Parity tests
+    must evaluate here, not det.apply() on un-normalized uint8."""
+    return det.model.apply(v, jnp.asarray(imgs), train=False,
+                           raw_input=True)
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+
+
 def test_uncalibrated_neck_raises():
     det8 = Detector(_int8_cfg())
     v = _trained_like_vars(Detector(CFG32))
@@ -56,20 +86,22 @@ def test_uncalibrated_neck_raises():
 def test_calibrated_full_path_matches_f32():
     det32 = Detector(CFG32)
     det8 = Detector(_int8_cfg())
-    v = _trained_like_vars(det32)
+    v = _perturbed_vars(det32)
     imgs = _images()
 
     qv, seen = calibrate(det8, v, [imgs])
     assert seen == imgs.shape[0]
     assert "quant" in qv and jax.tree_util.tree_leaves(qv["quant"])
 
-    l32, d32 = det32.apply(v, jnp.asarray(imgs))
-    l8, d8 = det8.apply(qv, jnp.asarray(imgs))
-    # init-weight logits are bias-dominated; require tight absolute error
-    assert np.abs(np.asarray(l32, np.float32)
-                  - np.asarray(l8, np.float32)).max() < 0.05
-    assert np.abs(np.asarray(d32, np.float32)
-                  - np.asarray(d8, np.float32)).max() < 0.05
+    l32, d32 = _serving_forward(det32, v, imgs)
+    l8, d8 = _serving_forward(det8, qv, imgs)
+    # relative bound on activation-dominated outputs, evaluated through
+    # the calibrated distribution — a clipping regression fails this
+    # (deltas get a wider bound: their magnitudes are ~100x smaller than
+    # the logits', so per-tensor activation quantization noise is a
+    # proportionally larger share; measured 0.07 at perturbed-init)
+    assert _rel_err(l8, l32) < 0.05, _rel_err(l8, l32)
+    assert _rel_err(d8, d32) < 0.12, _rel_err(d8, d32)
 
 
 def test_head_scales_are_per_level():
@@ -94,16 +126,56 @@ def test_calibration_scales_only_widen():
         assert float(b) >= float(a) - 1e-9
 
 
+def test_calibrated_scales_track_observed_range():
+    """Scales are seeded from observed |x| alone — small activations get a
+    fine grid, not the static act_range/127 floor (which now only backs
+    the uncalibrated serve-time fallback)."""
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(Detector(CFG32))
+    # near-mean-gray images: normalized input ~0, so neck activations at
+    # init weights are far below the ReLU6 bound
+    gray = np.full((2, 128, 128, 3), 120, np.uint8)
+    qv, _ = calibrate(det8, v, [gray])
+    scales = np.array([float(s) for s in
+                       jax.tree_util.tree_leaves(qv["quant"])])
+    assert np.all(scales > 0)
+    assert scales.min() < 6.0 / 127.0 * 0.5, scales.min()
+
+
+def test_percentile_calibration_narrows_scales():
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(Detector(CFG32))
+    imgs = _images()
+    q_abs, _ = calibrate(det8, v, [imgs])
+    q_pct, _ = calibrate(det8, v, [imgs], percentile=90.0)
+    a = jax.tree_util.tree_leaves(q_abs["quant"])
+    b = jax.tree_util.tree_leaves(q_pct["quant"])
+    assert all(float(y) <= float(x) + 1e-9 for x, y in zip(a, b))
+    assert any(float(y) < float(x) * 0.999 for x, y in zip(a, b))
+
+
+def test_stale_calibration_wrong_resolution_raises():
+    """Calibrate at 128, serve at 256: the shape-keyed neck scales are
+    missing for the new spatial shapes, and require_scale must raise
+    rather than silently fall back to the (inapplicable) static bound."""
+    det8 = Detector(_int8_cfg())
+    v = _trained_like_vars(Detector(CFG32))
+    qv, _ = calibrate(det8, v, [_images()])
+    cfg256 = dataclasses.replace(_int8_cfg(), image_size=256)
+    det256 = Detector(cfg256)
+    with pytest.raises(ValueError, match="calibrated activation scale"):
+        _serving_forward(det256, qv, _images(n=1, size=256))
+
+
 def test_backbone_only_needs_no_calibration():
     cfg8 = dataclasses.replace(
         CFG32, model=dataclasses.replace(CFG32.model, compute_dtype="int8"))
     det32, det8 = Detector(CFG32), Detector(cfg8)
-    v = _trained_like_vars(det32)
-    imgs = jnp.asarray(_images())
-    l32, _ = det32.apply(v, imgs)
-    l8, _ = det8.apply(v, imgs)  # no "quant" collection at all
-    assert np.abs(np.asarray(l32, np.float32)
-                  - np.asarray(l8, np.float32)).max() < 0.3
+    v = _perturbed_vars(det32)
+    imgs = _images()
+    l32, _ = _serving_forward(det32, v, imgs)
+    l8, _ = _serving_forward(det8, v, imgs)  # no "quant" collection at all
+    assert _rel_err(l8, l32) < 0.1, _rel_err(l8, l32)
 
 
 def test_artifact_round_trip_and_predictor(tmp_path):
@@ -181,20 +253,17 @@ def test_int8_dense4_full_path_matches_f32():
         CFG32.model, stem_schedule="dense4"))
     det32 = Detector(cfgd)
     det8 = Detector(_int8_cfg(cfgd))
-    v = _trained_like_vars(det32)
+    v = _perturbed_vars(det32)
     imgs = _images()
     qv, _ = calibrate(det8, v, [imgs])
-    l32, d32 = det32.apply(v, jnp.asarray(imgs))
-    l8, d8 = det8.apply(qv, jnp.asarray(imgs))
+    l32, d32 = _serving_forward(det32, v, imgs)
+    l8, d8 = _serving_forward(det8, qv, imgs)
     # slightly wider than the ref-stem bound: the stem's weight rounding
     # lands pre-BN, so its ~0.5% relative error is renormalized and rides
-    # through the whole depth (measured 0.059 at init weights vs 0.05 for
-    # the ref stem — same order, not a structural error; the stem-level
-    # tests above bound the stem itself at 2% relative)
-    assert np.abs(np.asarray(l32, np.float32)
-                  - np.asarray(l8, np.float32)).max() < 0.08
-    assert np.abs(np.asarray(d32, np.float32)
-                  - np.asarray(d8, np.float32)).max() < 0.08
+    # through the whole depth (the stem-level tests above bound the stem
+    # itself at 2% relative)
+    assert _rel_err(l8, l32) < 0.08, _rel_err(l8, l32)
+    assert _rel_err(d8, d32) < 0.08, _rel_err(d8, d32)
 
 
 def test_abstract_quant_tree_matches_calibrated():
