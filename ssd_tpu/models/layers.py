@@ -216,6 +216,14 @@ class QuantConv(nn.Module):
         x_q = jnp.clip(
             jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
         ).astype(jnp.int8)
+        # Keep the quantize with its PRODUCER, not inside this conv's
+        # fusion: without the barrier XLA nests bf16 producers (the
+        # depthwise conv in a DepthwiseSeparable block) inside this conv's
+        # fusion as a chained double-conv — measured 0.76 ms for ds3's
+        # dw+pw at b32/640 vs ~0.5 ms split (round-5 int8 trace). For
+        # s8->s8 conv chains the requant already fuses backward into the
+        # producer conv's epilogue, so this barrier is a no-op there.
+        x_q = jax.lax.optimization_barrier(x_q)
         # per-out-channel symmetric weight quantization
         k_absmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True)
         k_scale = jnp.maximum(k_absmax / 127.0, 1e-8)  # (1,1,1,F)

@@ -223,17 +223,30 @@ def select_candidates_cells(
 
     if refine:
         # exact top-num_candidates anchors among the gathered cells' q
-        # candidates — tiny tensors, one more top_k + three gathers
+        # candidates. Liveness falls out of the top_k VALUES (dead anchors
+        # rank -inf), and the row gathers run as one-hot MXU matmuls: the
+        # round-5 int8 trace priced the take_along_axis forms at ~0.9 ms
+        # (scattered-row gather custom calls + layout copies) vs ~0.1 ms
+        # on the MXU. Exact: logits/deltas are bf16-representable (bf16
+        # head outputs accumulated in f32) so the bf16 one-hot select
+        # reproduces them bit-for-bit; anchors/deltas ride an f32 einsum.
         rank = jnp.max(cand_logits, axis=-1)
         rank = jnp.where(anchor_live, rank, -jnp.inf)
-        _, aidx = jax.lax.top_k(rank, cfg.num_candidates)  # (N, Q)
-        cand_logits = jnp.take_along_axis(
-            cand_logits, aidx[..., None], axis=1)
-        cand_deltas = jnp.take_along_axis(
-            cand_deltas, aidx[..., None], axis=1)
-        cand_anchors = jnp.take_along_axis(
-            cand_anchors, aidx[..., None], axis=1)
-        anchor_live = jnp.take_along_axis(anchor_live, aidx, axis=1)
+        top_rank, aidx = jax.lax.top_k(rank, cfg.num_candidates)  # (N, Q)
+        anchor_live = jnp.isfinite(top_rank)
+        # select in the raw maps' dtype: bf16 head outputs are selected
+        # bit-exactly by a bf16 one-hot (values fit bf16; f32 accumulate);
+        # f32 callers (oracle tests) get an f32 einsum — exact either way
+        sel_dtype = raw_levels[0][0].dtype
+        oh = jax.nn.one_hot(aidx, q, dtype=sel_dtype)  # (N, Q, q)
+        cand_logits = jnp.einsum(
+            "nqs,nsc->nqc", oh, cand_logits.astype(sel_dtype),
+            preferred_element_type=jnp.float32)
+        cand_da = jnp.einsum(
+            "nqs,nsc->nqc", oh.astype(jnp.float32),
+            jnp.concatenate([cand_deltas, cand_anchors], axis=-1),
+            preferred_element_type=jnp.float32)
+        cand_deltas, cand_anchors = cand_da[..., :4], cand_da[..., 4:]
 
     boxes = box_utils.clip_boxes(box_utils.decode(cand_deltas, cand_anchors))
     scores = jax.nn.sigmoid(cand_logits)
