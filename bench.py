@@ -80,7 +80,19 @@ def _bench_config(cfg):
         out = det.predict(variables, images)
         return out.boxes, out.scores, out.labels, out.num_boxes
 
-    images = jnp.zeros((BATCH, cfg.image_size, cfg.image_size, 3), jnp.uint8)
+    # Packed ingest for the int8 dense4 serving config — the SAME feed
+    # Predictor/StreamingDetector use (ops/ingest.py): the pipeline
+    # delivers the space-to-depth(4)-packed s8 tensor, so the program
+    # drops the pack conv + raw-image relayout copy (~1.2 ms at b32/640,
+    # round-5 trace; bit-identical detections).
+    if (cfg.model.compute_dtype == "int8"
+            and cfg.model.stem_schedule == "dense4"):
+        from ssd_tpu.ops.ingest import pack_s2d
+        images = jnp.asarray(pack_s2d(
+            np.zeros((BATCH, cfg.image_size, cfg.image_size, 3), np.uint8)))
+    else:
+        images = jnp.zeros(
+            (BATCH, cfg.image_size, cfg.image_size, 3), jnp.uint8)
 
     # Guarded AUTO input layout — the SAME helper the serving layer uses
     # (Predictor/StreamingDetector), so the headline measures the feed
@@ -98,6 +110,29 @@ def _bench_config(cfg):
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     flops_per_batch = float(ca.get("flops", 0.0))
+
+    def device_ms(iters: int = 20):
+        """Per-batch DEVICE time from an XProf trace — immune to the
+        host<->device relay's dispatch overhead, which through a tunneled
+        chip oscillates from ~1 ms to ~18 ms per call with the tunnel's
+        load (observed round 5) and pollutes wall numbers. Reported
+        alongside wall time so the artifact self-documents relay state."""
+        import shutil
+        import tempfile
+        d = tempfile.mkdtemp(prefix="bench_trace_")
+        try:
+            with jax.profiler.trace(d):
+                r = None
+                for _ in range(iters):
+                    r = compiled(variables, images)
+                jax.block_until_ready(r)
+            from ssd_tpu.utils.trace_tools import find_xplane, load_device_ops
+            ops = load_device_ops(find_xplane(d))
+            return sum(ps for _, _, ps in ops) / 1e12 * 1e3 / iters
+        except Exception:  # pragma: no cover - non-TPU or no TF protos
+            return None
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
     for _ in range(WARMUP):
         jax.block_until_ready(compiled(variables, images))
@@ -119,7 +154,8 @@ def _bench_config(cfg):
     images_per_sec = BATCH * WINDOW * WINDOWS / dt
     window_ms.sort()
     return (images_per_sec, _percentile(window_ms, 0.50),
-            _percentile(window_ms, 0.99), flops_per_batch, det, variables)
+            _percentile(window_ms, 0.99), flops_per_batch, det, variables,
+            device_ms())
 
 
 def main() -> None:
@@ -141,7 +177,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, stem_schedule="dense4"))
     (bf16_img_s, bf16_p50, bf16_p99, flops_per_batch, det,
-     variables) = _bench_config(cfg)
+     variables, bf16_dev_ms) = _bench_config(cfg)
     mfu = flops_per_batch / (bf16_p50 * 1e-3) / PEAK_BF16_FLOPS
 
     # The shipped SERVING configuration: + full-path int8 PTQ (exact-integer
@@ -149,9 +185,10 @@ def main() -> None:
     cfg8 = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, compute_dtype="int8", int8_neck=True))
     images_per_sec, p50, p99 = bf16_img_s, bf16_p50, bf16_p99
-    mxu_util_int8 = None
+    mxu_util_int8 = int8_dev_ms = None
     try:
-        images_per_sec, p50, p99, flops8, _, _ = _bench_config(cfg8)
+        (images_per_sec, p50, p99, flops8, _, _,
+         int8_dev_ms) = _bench_config(cfg8)
         # int8 peak is 2x bf16 on v5e; cost analysis counts the same
         # MACs, so utilization is vs the 394 TOPS int8 roof
         mxu_util_int8 = flops8 / (p50 * 1e-3) / (2 * PEAK_BF16_FLOPS)
@@ -229,6 +266,17 @@ def main() -> None:
     }
     if mxu_util_int8 is not None:
         out["mxu_util_int8"] = round(mxu_util_int8, 4)
+    # DEVICE time per batch (XProf-traced) + the implied device-rate
+    # throughput: wall minus device is pure host->device dispatch
+    # overhead, which through a tunneled chip oscillates ~1-18 ms/call
+    # with tunnel load (round 5). Local deployments sit near the device
+    # rate; the wall fields above are the conservative through-a-tunnel
+    # measurement.
+    if int8_dev_ms is not None:
+        out["p50_device_ms"] = round(int8_dev_ms, 3)
+        out["device_images_per_sec"] = round(BATCH / (int8_dev_ms * 1e-3), 2)
+    if bf16_dev_ms is not None:
+        out["bf16_p50_device_ms"] = round(bf16_dev_ms, 3)
     if sanity_bf16 is not None:
         out["sanity_map"] = round(sanity_bf16, 4)
     if sanity_int8 is not None:

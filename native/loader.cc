@@ -196,6 +196,51 @@ int ssd_resize(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
   return 0;
 }
 
+// TPU-native ingest pack (ssd_tpu/ops/ingest.py): space-to-depth(4) +
+// the exact -128 shift (u8 XOR 0x80 reinterpreted as s8), so the serving
+// feed delivers the MXU-ready (N, H/4, W/4, 48) s8 tensor the int8 dense4
+// stem consumes directly — the on-device pack conv and the raw image's
+// relayout copy both disappear from the serve program. Channel
+// (4*dy + dx)*3 + c holds pixel (dy, dx) channel c of each 4x4 block
+// (bit-identical to models/mobilenet._s2d_pack_kernel). Parallel over
+// output block-rows; per (dy) the inner copy moves 12 contiguous source
+// bytes per output cell, which the compiler vectorizes.
+int ssd_pack_s2d(const uint8_t* src, int n, int h, int w, int8_t* dst,
+                 int n_threads) {
+  if (h % 4 || w % 4 || n < 0) return 1;
+  const int ph = h / 4, pw = w / 4;
+  const size_t src_img = static_cast<size_t>(h) * w * 3;
+  const size_t dst_img = static_cast<size_t>(ph) * pw * 48;
+  const int64_t total_rows = static_cast<int64_t>(n) * ph;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t r = next.fetch_add(1);
+      if (r >= total_rows) return;
+      const int img = static_cast<int>(r / ph), i = static_cast<int>(r % ph);
+      const uint8_t* s_img = src + src_img * img;
+      int8_t* d_row = dst + dst_img * img + static_cast<size_t>(i) * pw * 48;
+      for (int dy = 0; dy < 4; ++dy) {
+        const uint8_t* s_row =
+            s_img + (static_cast<size_t>(4 * i + dy) * w) * 3;
+        int8_t* d = d_row + dy * 12;
+        for (int j = 0; j < pw; ++j) {
+          const uint8_t* s = s_row + j * 12;  // 4 px * 3 ch of this block
+          for (int k = 0; k < 12; ++k)
+            d[j * 48 + k] = static_cast<int8_t>(s[k] ^ 0x80u);
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  const int nt = static_cast<int>(
+      std::min<int64_t>(n_threads, std::max<int64_t>(total_rows, 1)));
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
 // crc32c (Castagnoli), slice-by-8 table — tfrecord verification hot path.
 static uint32_t kCrcTable[8][256];
 static bool crc_init = []() {

@@ -182,6 +182,15 @@ class NMSConfig:
     # round 3). 1.0 disables refinement (single-stage, all K anchors of
     # Q/K cells).
     cell_overprovision: float = 2.0
+    # Cell prefilter top-k (select="cells" only): approx_max_k at recall
+    # 0.99 (TPU PartialReduce) vs the exact top_k, whose (N, cells)
+    # key-value sort costs 0.29 ms at b32/640 (round-5 int8 trace). The
+    # refine stage re-ranks anchors exactly, and overprovision x2 means a
+    # dropped cell must beat ~2x the needed field to have mattered; the
+    # crowded-scene A/B row lives in the tools/crowded_validation sweep
+    # (accuracy deltas per round: BENCHMARKS.md). On CPU approx lowers to
+    # the exact path (oracle tests unaffected).
+    approx_cell_topk: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

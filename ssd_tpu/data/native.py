@@ -61,6 +61,12 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
     lib.ssd_resize.restype = ctypes.c_int
+    if hasattr(lib, "ssd_pack_s2d"):  # stale .so builds lack it
+        lib.ssd_pack_s2d.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.ssd_pack_s2d.restype = ctypes.c_int
     if hasattr(lib, "ssd_tfrecord_index"):  # stale .so builds lack it
         lib.ssd_tfrecord_index.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
@@ -160,6 +166,26 @@ def resize(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.asarray(
         Image.fromarray(image).resize((out_w, out_h), Image.BILINEAR), np.uint8
     )
+
+
+def pack_s2d(images: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, H/4, W/4, 48) int8 ingest pack (the
+    space-to-depth(4) + exact -128 shift the int8 dense4 stem consumes —
+    ssd_tpu/ops/ingest.py). C++ threaded kernel; numpy fallback."""
+    lib = _load()
+    if lib is not None and hasattr(lib, "ssd_pack_s2d"):
+        src = np.ascontiguousarray(images, np.uint8)
+        n, h, w, c = src.shape
+        if c == 3 and h % 4 == 0 and w % 4 == 0:
+            out = np.empty((n, h // 4, w // 4, 48), np.int8)
+            rc = lib.ssd_pack_s2d(
+                src.ctypes.data_as(ctypes.c_void_p), n, h, w,
+                out.ctypes.data_as(ctypes.c_void_p), n_threads,
+            )
+            if rc == 0:
+                return out
+    from ssd_tpu.ops.ingest import pack_s2d as np_pack
+    return np_pack(images)
 
 
 def crc32c(data: bytes) -> int:

@@ -159,15 +159,34 @@ class _Int8FoldedS2DConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):  # x: raw uint8 (N, H, W, 3)
+    def __call__(self, x):  # x: raw uint8 (N, H, W, 3) OR packed s8
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 48, self.features), jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
-        pack = jnp.asarray(_s2d_pack_kernel(), jnp.uint8)
-        xs = jax.lax.conv_general_dilated(
-            x, pack, (4, 4), "VALID", dimension_numbers=dn,
-            preferred_element_type=jnp.int32)
-        xs = (xs - 128).astype(jnp.int8)  # exact: pixel values fit s8
+        if x.dtype == jnp.int8:
+            # PACKED INGEST: the input pipeline already delivered the
+            # space-to-depth(4) packing as shifted s8 (u8 XOR 0x80 — see
+            # ops/ingest.pack_s2d). Bit-identical to the on-device packing
+            # below, but the program skips both the pack conv (~0.65 ms at
+            # b32/640) and the raw image's relayout copy (~0.58 ms, the
+            # layout device_put cannot materialize — utils/layout.py);
+            # this is the MLPerf-ResNet space-to-depth-in-the-pipeline
+            # move, TPU-native ingest instead of host-faithful ingest.
+            xs = x
+        else:
+            # The -128 shift as a BIT TRICK, not an epilogue subtract:
+            # (u8 XOR 0x80) reinterpreted as s8 IS u8 - 128, exactly, for
+            # all 256 values. The XOR fuses into the input's (already
+            # present) relayout copy for free, and the one-hot pack conv
+            # then runs s8 x s8 -> s32 on the MXU's int8 path instead of
+            # the slow u8 emitter (round-5 trace: 0.69 ms u8 form at
+            # b32/640).
+            xor = jax.lax.bitcast_convert_type(x ^ jnp.uint8(0x80), jnp.int8)
+            pack = jnp.asarray(_s2d_pack_kernel(), jnp.int8)
+            xs = jax.lax.conv_general_dilated(
+                xor, pack, (4, 4), "VALID", dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            xs = xs.astype(jnp.int8)  # exact: one tap per output, fits s8
 
         std48 = jnp.asarray(np.tile(STD_RGB, 16), jnp.float32)
         wp = kernel / std48[None, None, :, None]

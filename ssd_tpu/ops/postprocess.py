@@ -184,7 +184,14 @@ def select_candidates_cells(
     over = max(float(getattr(cfg, "cell_overprovision", 1.0)), 1.0)
     q_cells = min(-(-int(cfg.num_candidates * over) // k), total_cells)
     refine = q_cells * k > cfg.num_candidates
-    top_logit, cell_idx = jax.lax.top_k(cell_logit, q_cells)  # (N, Qc)
+    if getattr(cfg, "approx_cell_topk", False) and q_cells < total_cells:
+        # PartialReduce instead of the full (N, cells) key-value sort;
+        # the refine stage below re-ranks anchors exactly (see
+        # NMSConfig.approx_cell_topk for the measured accuracy gate)
+        top_logit, cell_idx = jax.lax.approx_max_k(
+            cell_logit, q_cells, recall_target=0.99)
+    else:
+        top_logit, cell_idx = jax.lax.top_k(cell_logit, q_cells)  # (N, Qc)
 
     # 3. gather whole cells per level (contiguous K*C / K*4 lane rows) as a
     # ONE-HOT MXU matmul per level, accumulated: take_along_axis forces a

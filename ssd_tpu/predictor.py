@@ -65,7 +65,8 @@ class Predictor:
     def __init__(self, cfg: Config, variables: dict,
                  label_map: dict[int, str] | None = None,
                  preserve_aspect: bool = False,
-                 mesh=None, spatial_shard: bool = False):
+                 mesh=None, spatial_shard: bool = False,
+                 packed_ingest: bool | None = None):
         """``mesh``: an optional ``jax.sharding.Mesh`` (or True to build
         one over all visible devices) for DATA-PARALLEL serving: batches
         shard over the ``data`` axis, params replicate, and XLA runs one
@@ -86,6 +87,19 @@ class Predictor:
         self.variables = variables
         self.label_map = label_map
         self.preserve_aspect = preserve_aspect
+        # Packed ingest (ops/ingest.py): for the int8 dense4 serving
+        # config the feed delivers the space-to-depth(4)-packed s8 tensor
+        # the stem consumes directly — bit-identical detections, and the
+        # serve program drops the pack conv + the raw image's relayout
+        # copy (~1.2 ms at b32/640, round-5 trace). The host pack runs in
+        # the native C++ loader. ``packed_ingest=None`` -> auto (on for
+        # capable configs); pass False to force the raw uint8 feed.
+        if packed_ingest is None:
+            packed_ingest = (cfg.model.compute_dtype == "int8"
+                             and cfg.model.stem_schedule == "dense4"
+                             and not cfg.model.stem_space_to_depth
+                             and not spatial_shard)
+        self._packed = bool(packed_ingest)
         self._jitted = {}
         if mesh is True:
             from ssd_tpu.parallel import create_mesh
@@ -138,8 +152,7 @@ class Predictor:
                 from ssd_tpu.utils.layout import (compile_auto_layout,
                                                   want_auto_layout)
                 if want_auto_layout():
-                    dummy = jnp.zeros(
-                        (n,) + self.cfg.image_hw() + (3,), jnp.uint8)
+                    dummy = jnp.zeros(self._feed_shape(n), self._feed_dtype())
                     compiled, st = compile_auto_layout(
                         self.detector.predict, self.variables, dummy)
                     if compiled is not None:
@@ -157,6 +170,23 @@ class Predictor:
                 )
                 self._jitted[n] = (fn, jnp.asarray)
         return self._jitted[n]
+
+    def _feed_shape(self, n: int) -> tuple:
+        """Static device-feed shape for a bucket: packed or raw."""
+        if self._packed:
+            from ssd_tpu.ops.ingest import packed_shape
+            return packed_shape(self.cfg.image_hw(), n)
+        return (n,) + self.cfg.image_hw() + (3,)
+
+    def _feed_dtype(self):
+        return jnp.int8 if self._packed else jnp.uint8
+
+    def _feed(self, images: np.ndarray) -> np.ndarray:
+        """Host-side ingest transform: raw uint8 batch -> device feed."""
+        if self._packed:
+            from ssd_tpu.data.native import pack_s2d
+            return pack_s2d(images)
+        return images
 
     def _min_bucket(self) -> int:
         """Buckets must be divisible by the data-axis size when sharded."""
@@ -226,7 +256,7 @@ class Predictor:
             )
 
         fn, stage = self._fn_for_batch(bucket)
-        out = fn(self.variables, stage(images))
+        out = fn(self.variables, stage(self._feed(images)))
         return {"out": out, "n": n, "valid_frac": valid_frac,
                 "single": single}
 
@@ -261,7 +291,7 @@ class Predictor:
     def warmup(self, batch_size: int = 1) -> None:
         """Pre-compile for a batch size's bucket (avoids first-call latency)."""
         bucket = self._bucket_for(batch_size)
-        dummy = jnp.zeros((bucket,) + self.cfg.image_hw() + (3,), jnp.uint8)
+        dummy = jnp.zeros(self._feed_shape(bucket), self._feed_dtype())
         fn, stage = self._fn_for_batch(bucket)
         jax.block_until_ready(fn(self.variables, stage(dummy)))
 

@@ -66,13 +66,31 @@ class StreamingDetector:
                 lambda v, im: self.detector.predict(v, im[None])
             )
         self._stage = jnp.asarray
+        # Packed ingest (ops/ingest.py): int8 dense4 frames are
+        # space-to-depth(4)-packed s8 on host (native C++ kernel), so the
+        # per-frame program skips the pack conv + raw-frame relayout copy
+        # — bit-identical detections (same auto rule as Predictor).
+        self._packed = (cfg.model.compute_dtype == "int8"
+                        and cfg.model.stem_schedule == "dense4"
+                        and not cfg.model.stem_space_to_depth
+                        and not (mesh is not None and spatial_shard))
         self._inflight: collections.deque = collections.deque()
         self._lat = collections.deque(maxlen=256)
         self._done_t = collections.deque(maxlen=256)  # result-fetch times
 
+    def _ingest(self, frame: np.ndarray) -> np.ndarray:
+        if self._packed:
+            from ssd_tpu.data.native import pack_s2d
+            return pack_s2d(frame[None])[0]
+        return frame
+
     def warmup(self) -> None:
         ih, iw = self.cfg.image_hw()
-        dummy = jnp.zeros((ih, iw, 3), jnp.uint8)
+        if self._packed:
+            from ssd_tpu.ops.ingest import packed_shape
+            dummy = jnp.zeros(packed_shape((ih, iw)), jnp.int8)
+        else:
+            dummy = jnp.zeros((ih, iw, 3), jnp.uint8)
         if self.mesh is None:
             # guarded AUTO-layout feed (utils/layout.py): stage each frame
             # in the stem conv's preferred layout so no relayout copy runs
@@ -108,7 +126,7 @@ class StreamingDetector:
         if frame.shape[:2] != (ih, iw):
             from ssd_tpu.data import native
             frame = native.resize(np.ascontiguousarray(frame), ih, iw)
-        out = self._predict(self.variables, self._stage(frame))
+        out = self._predict(self.variables, self._stage(self._ingest(frame)))
         # Queue the device->host copy NOW (it runs as soon as the step
         # finishes) so _fetch_one's device_get finds the data already on
         # host instead of paying a blocking round trip per frame — through

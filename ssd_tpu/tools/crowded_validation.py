@@ -155,7 +155,8 @@ def variant_postprocessors(det, cfg, on_tpu: bool):
     for q in (256, 512, 1024, 2048):
         vq = dataclasses.replace(nms, num_candidates=q,
                                  approx_class_topk=False,
-                                 cell_overprovision=1.0)
+                                 cell_overprovision=1.0,
+                                 approx_cell_topk=False)
         variants.append((f"anchors-exact q={q}", "flat",
                          flat_fn(vq, True, True)))
         variants.append((f"anchors-approx q={q}", "flat",
@@ -167,20 +168,29 @@ def variant_postprocessors(det, cfg, on_tpu: bool):
     for q, over in ((1024, 2.0), (1024, 3.0), (2048, 2.0)):
         vr = dataclasses.replace(nms, num_candidates=q,
                                  approx_class_topk=False,
-                                 cell_overprovision=over)
+                                 cell_overprovision=over,
+                                 approx_cell_topk=False)
         variants.append((f"cells q={q} refine-x{over:g}", "cells",
                          cells_fn(vr, True)))
     # approx class top-k in the Pallas NMS on top of the default path
     variants.append(("cells q=1024 refine-x2 +approx-class-topk", "cells",
                      cells_fn(dataclasses.replace(
                          nms, num_candidates=1024, approx_class_topk=True,
-                         cell_overprovision=2.0),
+                         cell_overprovision=2.0, approx_cell_topk=False),
+                         True)))
+    # approx CELL prefilter (PartialReduce vs exact sort; on-TPU only —
+    # approx lowers to exact on CPU). Paired against the exact row above.
+    variants.append(("cells q=1024 refine-x2 +approx-cell-topk", "cells",
+                     cells_fn(dataclasses.replace(
+                         nms, num_candidates=1024, approx_class_topk=False,
+                         cell_overprovision=2.0, approx_cell_topk=True),
                          True)))
     for topk in (64, 256, 400):
         vt = dataclasses.replace(nms, num_candidates=1024,
                                  pre_nms_top_k=topk,
                                  approx_class_topk=False,
-                                 cell_overprovision=1.0)
+                                 cell_overprovision=1.0,
+                                 approx_cell_topk=False)
         variants.append((f"cells q=1024 pre_nms_top_k={topk}", "cells",
                          cells_fn(vt, True)))
     # Soft-NMS method sweep on the default two-stage cell path — crowded
@@ -193,7 +203,7 @@ def variant_postprocessors(det, cfg, on_tpu: bool):
             kw["soft_sigma"] = sigma
         vs = dataclasses.replace(nms, num_candidates=1024,
                                  approx_class_topk=False,
-                                 cell_overprovision=2.0, **kw)
+                                 cell_overprovision=2.0, approx_cell_topk=False, **kw)
         label = meth if sigma is None else f"{meth} sigma={sigma:g}"
         variants.append((f"cells q=1024 refine-x2 {label}", "cells",
                          cells_fn(vs, False)))
