@@ -232,6 +232,24 @@ class Predictor:
             single = images.ndim == 3
             image_list = [images] if single else list(images)
         hw = self.cfg.image_hw()
+
+        # Pre-packed fast path: an upstream ingest tier (e.g. the serve
+        # daemon's handler threads, which pack per image right after the
+        # native decode so the cost overlaps across requests) may hand us
+        # already-packed (H/4, W/4, 48) s8 tensors — stack, pad, dispatch.
+        if self._packed and image_list and all(
+                im.ndim == 3 and im.dtype == np.int8
+                and im.shape == self._feed_shape(1)[1:]
+                for im in image_list):
+            packed = np.stack(image_list)
+            n = packed.shape[0]
+            bucket = self._bucket_for(n)
+            if bucket != n:
+                packed = np.concatenate([packed, np.zeros(
+                    (bucket - n,) + packed.shape[1:], np.int8)])
+            fn, stage = self._fn_for_batch(bucket)
+            out = fn(self.variables, stage(packed))
+            return {"out": out, "n": n, "valid_frac": None, "single": single}
         valid_frac = None
         if self.preserve_aspect:
             canvases, fracs = [], []

@@ -324,7 +324,14 @@ class DetectionServer:
         th, tw = self.predictor.cfg.image_hw()
         # Fused native decode+resize straight to the model resolution —
         # the handler thread ships exactly (H, W, 3) uint8 to the queue.
-        return native.decode_jpeg(data, th, tw)
+        image = native.decode_jpeg(data, th, tw)
+        if getattr(self.predictor, "_packed", False):
+            # Packed ingest (ops/ingest.py): pack per image HERE, in the
+            # handler thread, so the cost overlaps across requests and the
+            # single dispatcher thread never pays the whole batch's pack
+            # (Predictor's pre-packed fast path picks these up).
+            image = native.pack_s2d(image[None], n_threads=1)[0]
+        return image
 
     # ------------------------------------------------------------- lifecycle
 

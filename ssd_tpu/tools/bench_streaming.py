@@ -24,6 +24,8 @@ def main() -> None:
     p.add_argument("--int8", action="store_true",
                    help="quantize the neck (calibrates on noise; scale "
                         "values do not affect speed)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="config overrides, e.g. model.stem_schedule=dense4")
     args = p.parse_args()
 
     from ssd_tpu.utils.compile_cache import enable_compile_cache
@@ -38,6 +40,10 @@ def main() -> None:
     from ssd_tpu.streaming import StreamingDetector
 
     cfg = Config.load(args.config)
+    if args.set:
+        from ssd_tpu.tools.bench_train import apply_overrides
+        cfg = Config.from_dict(
+            apply_overrides(json.loads(cfg.to_json()), args.set))
     if args.int8:
         import dataclasses
 
@@ -69,7 +75,7 @@ def main() -> None:
     assert fetched == args.frames, (fetched, args.frames)
 
     st = s.stats()
-    print(json.dumps({
+    out = {
         "resolution": f"{ih}x{iw}",
         "depth": args.depth,
         "frames": args.frames,
@@ -77,7 +83,31 @@ def main() -> None:
         "p50_latency_ms": round(st["p50_latency_s"] * 1e3, 1),
         "p95_latency_ms": round(st["p95_latency_s"] * 1e3, 1),
         "compute_dtype": cfg.model.compute_dtype,
-    }))
+    }
+
+    # DEVICE time per frame (XProf trace of 10 more pushes): wall fps
+    # through a tunneled chip is dominated by the per-dispatch RPC, which
+    # oscillates ~1-18 ms with tunnel load (round 5) — the device rate is
+    # what a local deployment sustains.
+    try:
+        import shutil
+        import tempfile
+        d = tempfile.mkdtemp(prefix="stream_trace_")
+        with jax.profiler.trace(d):
+            for i in range(10):
+                for _ in s.push(pool[i % len(pool)]):
+                    pass
+            for _ in s.flush():
+                pass
+        from ssd_tpu.utils.trace_tools import find_xplane, load_device_ops
+        ops = load_device_ops(find_xplane(d))
+        dev_ms = sum(ps for _, _, ps in ops) / 1e12 * 1e3 / 10
+        out["p50_device_ms"] = round(dev_ms, 2)
+        out["device_fps"] = round(1e3 / dev_ms, 2)
+        shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

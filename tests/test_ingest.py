@@ -113,3 +113,49 @@ def test_predictor_auto_packed_matches_raw_feed():
     bf = dataclasses.replace(CFG8, model=dataclasses.replace(
         CFG8.model, compute_dtype="bfloat16", int8_neck=False))
     assert not Predictor(bf, Detector(bf).init(jax.random.PRNGKey(0)))._packed
+
+
+def test_daemon_packed_handler_matches_direct_predict():
+    """The serve daemon's handler threads pack per image at decode time
+    (serve._decode) and Predictor's pre-packed fast path consumes them —
+    detections over HTTP must equal the direct raw-uint8 predict."""
+    import io
+    import json as jsonlib
+    import urllib.request
+
+    from PIL import Image
+
+    from ssd_tpu.predictor import Predictor
+    from ssd_tpu.serve import DetectionServer
+
+    det = Detector(CFG8)
+    variables = det.init(jax.random.PRNGKey(0))
+    variables, _ = calibrate(det, variables, [_images(2)])
+    predictor = Predictor(CFG8, variables)
+    assert predictor._packed
+    predictor.warmup(1)
+    srv = DetectionServer(predictor, host="127.0.0.1", port=0,
+                          max_batch=4, max_wait_ms=5.0,
+                          default_score_threshold=0.0)
+    srv.start()
+    try:
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/detect?score_threshold=0",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            via_http = jsonlib.loads(resp.read())["detections"]
+        # decode exactly like the handler, then direct raw predict
+        from ssd_tpu.data import native
+        image = native.decode_jpeg(buf.getvalue(), 128, 128)
+        direct = Predictor(CFG8, variables, packed_ingest=False).predict(image)
+        assert len(via_http) == int(direct["num_boxes"])
+        for d, score, box in zip(via_http, direct["scores"],
+                                 direct["boxes"]):
+            assert abs(d["score"] - float(score)) < 1e-3
+            np.testing.assert_allclose(d["box_yxyx"], box, atol=1e-3)
+    finally:
+        srv.stop()
