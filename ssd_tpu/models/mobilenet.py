@@ -71,10 +71,24 @@ class _FoldedS2DConv(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 48, self.features), jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
-        pack = jnp.asarray(_s2d_pack_kernel(), self.dtype)
-        xs = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), pack, (4, 4), "VALID",
-            dimension_numbers=dn)  # (N, H/4, W/4, 48)
+        packed_in = x.dtype == jnp.int8
+        if packed_in:
+            # PACKED INGEST (ops/ingest.py): the pipeline delivered the
+            # space-to-depth(4) packing as -128-shifted s8. Integers
+            # |v| <= 128 are exact in bf16, and
+            #   conv((p - mean)/std, w) = conv(p - 128, w/std)
+            #                             + border((128 - mean) * w/std)
+            # so the fold below just swaps the correction constant — the
+            # pack conv and the raw image's relayout copy (~1.5 ms of the
+            # bf16 b32/640 serve batch, round-4 wall table) never run.
+            if not self.fold_normalize:
+                raise ValueError("packed ingest requires fold_normalize")
+            xs = x.astype(self.dtype)
+        else:
+            pack = jnp.asarray(_s2d_pack_kernel(), self.dtype)
+            xs = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), pack, (4, 4), "VALID",
+                dimension_numbers=dn)  # (N, H/4, W/4, 48)
         if not self.fold_normalize:
             return jax.lax.conv_general_dilated(
                 xs, kernel.astype(self.dtype), (1, 1), "SAME",
@@ -96,6 +110,13 @@ class _FoldedS2DConv(nn.Module):
             y = jax.lax.conv_general_dilated(
                 xs, wp, (1, 1), "SAME", dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
+        if packed_in:
+            # input was p - 128: ADD the (128 - mean)/std correction map
+            shift48 = 128.0 - jnp.asarray(np.tile(MEAN_RGB, 16), jnp.float32)
+            corr = self._border_correction(
+                wp.astype(jnp.float32), xs.shape[1], xs.shape[2],
+                const48=shift48)
+            return (y + corr).astype(self.dtype)
         corr = self._border_correction(
             wp.astype(jnp.float32), xs.shape[1], xs.shape[2])
         return (y - corr).astype(self.dtype)

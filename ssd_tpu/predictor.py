@@ -87,16 +87,16 @@ class Predictor:
         self.variables = variables
         self.label_map = label_map
         self.preserve_aspect = preserve_aspect
-        # Packed ingest (ops/ingest.py): for the int8 dense4 serving
-        # config the feed delivers the space-to-depth(4)-packed s8 tensor
-        # the stem consumes directly — bit-identical detections, and the
-        # serve program drops the pack conv + the raw image's relayout
-        # copy (~1.2 ms at b32/640, round-5 trace). The host pack runs in
-        # the native C++ loader. ``packed_ingest=None`` -> auto (on for
-        # capable configs); pass False to force the raw uint8 feed.
+        # Packed ingest (ops/ingest.py): for dense4 serving configs the
+        # feed delivers the space-to-depth(4)-packed s8 tensor the stem
+        # consumes directly — the serve program drops the pack conv + the
+        # raw image's relayout copy (int8: ~1.2 ms at b32/640, bit-
+        # identical; bf16/f32: ~1.5 ms, same values up to conv summation
+        # order — the -128 shift moves into the border correction map).
+        # The host pack runs in the native C++ loader.
+        # ``packed_ingest=None`` -> auto; False forces the raw uint8 feed.
         if packed_ingest is None:
-            packed_ingest = (cfg.model.compute_dtype == "int8"
-                             and cfg.model.stem_schedule == "dense4"
+            packed_ingest = (cfg.model.stem_schedule == "dense4"
                              and not cfg.model.stem_space_to_depth
                              and not spatial_shard)
         self._packed = bool(packed_ingest)

@@ -66,12 +66,12 @@ class StreamingDetector:
                 lambda v, im: self.detector.predict(v, im[None])
             )
         self._stage = jnp.asarray
-        # Packed ingest (ops/ingest.py): int8 dense4 frames are
-        # space-to-depth(4)-packed s8 on host (native C++ kernel), so the
+        # Packed ingest (ops/ingest.py): dense4 frames are space-to-
+        # depth(4)-packed s8 on host (native C++ kernel), so the
         # per-frame program skips the pack conv + raw-frame relayout copy
-        # — bit-identical detections (same auto rule as Predictor).
-        self._packed = (cfg.model.compute_dtype == "int8"
-                        and cfg.model.stem_schedule == "dense4"
+        # (same auto rule as Predictor; int8 bit-identical, bf16 equal up
+        # to conv summation order).
+        self._packed = (cfg.model.stem_schedule == "dense4"
                         and not cfg.model.stem_space_to_depth
                         and not (mesh is not None and spatial_shard))
         self._inflight: collections.deque = collections.deque()

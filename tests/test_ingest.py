@@ -109,10 +109,34 @@ def test_predictor_auto_packed_matches_raw_feed():
     for k in ("boxes", "scores", "labels", "num_boxes"):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
-    # bf16 configs never auto-pack
-    bf = dataclasses.replace(CFG8, model=dataclasses.replace(
-        CFG8.model, compute_dtype="bfloat16", int8_neck=False))
-    assert not Predictor(bf, Detector(bf).init(jax.random.PRNGKey(0)))._packed
+    # non-dense4 stems never auto-pack
+    ref = dataclasses.replace(CFG8, model=dataclasses.replace(
+        CFG8.model, compute_dtype="bfloat16", int8_neck=False,
+        stem_schedule="reference"))
+    assert not Predictor(
+        ref, Detector(ref).init(jax.random.PRNGKey(0)))._packed
+
+
+def test_packed_predict_bf16_close():
+    """bf16/f32 dense4 packed ingest: conv((p-mean)/std, w) ==
+    conv(p-128, w/std) + border((128-mean)w/std) up to conv summation
+    order. f32 config -> tight tolerance on the raw-vs-packed predict."""
+    cfg = dataclasses.replace(CFG8, model=dataclasses.replace(
+        CFG8.model, compute_dtype="float32", int8_neck=False))
+    det = Detector(cfg)
+    variables = det.init(jax.random.PRNGKey(1))
+    imgs = _images(2, seed=9)
+    raw = jax.jit(det.predict)(variables, jnp.asarray(imgs))
+    packed = jax.jit(det.predict)(variables, jnp.asarray(pack_s2d(imgs)))
+    np.testing.assert_array_equal(np.asarray(raw.num_boxes),
+                                  np.asarray(packed.num_boxes))
+    np.testing.assert_allclose(np.asarray(raw.scores),
+                               np.asarray(packed.scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(raw.boxes),
+                               np.asarray(packed.boxes), atol=1e-5)
+
+    from ssd_tpu.predictor import Predictor
+    assert Predictor(cfg, variables)._packed  # dense4 auto rule, any dtype
 
 
 def test_daemon_packed_handler_matches_direct_predict():
