@@ -19,6 +19,11 @@ COCO mAP parity" plus MFU):
     predict program avoids, so this upper-bounds the in-situ cost.
   * ``mfu`` — measured FLOPs (XLA cost analysis of the compiled predict)
     / measured time / 197e12 (v5e bf16 peak).
+  * ``dispatch`` — "plain" (one device call per b32 batch) or "scan4"
+    (one lax.scan-of-4-microbatches call, the serve daemon's
+    ``--scan-depth`` throughput mode): headlined when faster because the
+    relay's per-dispatch overhead is host-state, not chip cost;
+    ``plain_images_per_sec``/``scan4_*`` always carry both measurements.
 
 The reference publishes no numbers (BASELINE.json ``published: {}``); the
 north-star target is >=10x the TF reference's images/sec on one chip.
@@ -158,6 +163,59 @@ def _bench_config(cfg):
             device_ms())
 
 
+def _bench_scan(cfg, det, variables, k: int = 4):
+    """Scan-K dispatch throughput: ONE device program runs ``k``
+    back-to-back b32 microbatches via ``lax.scan`` (the daemon's
+    ``--scan-depth`` mode, Predictor.predict_dispatch_group). The relay's
+    per-dispatch overhead — which does NOT hide behind the ~9 ms device
+    step because in-flight is capped through the tunnel — is paid once
+    per ``k`` batches, so wall throughput approaches the device rate.
+    Returns (images_per_sec, per_batch_ms) or (None, None) off-TPU."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    def predict_k(v, images_k):
+        def body(c, imgs):
+            out = det.predict(v, imgs)
+            return c, (out.boxes, out.scores, out.labels, out.num_boxes)
+        _, ys = jax.lax.scan(body, 0, images_k)
+        return ys
+
+    if cfg.model.stem_schedule == "dense4":
+        from ssd_tpu.ops.ingest import pack_s2d
+        base = pack_s2d(np.zeros(
+            (k * BATCH, cfg.image_size, cfg.image_size, 3), np.uint8))
+        images = jnp.asarray(base).reshape((k, BATCH) + base.shape[1:])
+    else:
+        images = jnp.zeros(
+            (k, BATCH, cfg.image_size, cfg.image_size, 3), jnp.uint8)
+    from ssd_tpu.utils.layout import compile_auto_layout
+    compiled, stage = compile_auto_layout(predict_k, variables, images)
+    if compiled is not None:
+        images = stage(images)
+    else:  # pragma: no cover - older jax / no relayout support
+        compiled = jax.jit(predict_k).lower(variables, images).compile()
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(compiled(variables, images))
+    calls = max(WINDOW // k, 1)
+    window_ms = []
+    t0_all = time.perf_counter()
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(calls):
+            r = compiled(variables, images)
+        jax.block_until_ready(r)
+        window_ms.append((time.perf_counter() - t0) / (calls * k) * 1e3)
+    dt = time.perf_counter() - t0_all
+    window_ms.sort()
+    return (BATCH * k * calls * WINDOWS / dt,
+            _percentile(window_ms, 0.50))
+
+
 def main() -> None:
     import dataclasses
 
@@ -186,9 +244,11 @@ def main() -> None:
         cfg.model, compute_dtype="int8", int8_neck=True))
     images_per_sec, p50, p99 = bf16_img_s, bf16_p50, bf16_p99
     mxu_util_int8 = int8_dev_ms = None
+    serve_det, serve_vars, serve_cfg = det, variables, cfg
     try:
-        (images_per_sec, p50, p99, flops8, _, _,
+        (images_per_sec, p50, p99, flops8, serve_det, serve_vars,
          int8_dev_ms) = _bench_config(cfg8)
+        serve_cfg = cfg8
         # int8 peak is 2x bf16 on v5e; cost analysis counts the same
         # MACs, so utilization is vs the 394 TOPS int8 roof
         mxu_util_int8 = flops8 / (p50 * 1e-3) / (2 * PEAK_BF16_FLOPS)
@@ -228,6 +288,25 @@ def main() -> None:
         with open(REF_FILE) as f:
             ref = float(json.load(f)["images_per_sec"])
 
+    # ---- scan-K dispatch (the serve daemon's --scan-depth throughput
+    # mode): amortizes the relay's per-dispatch overhead over K batches;
+    # headlined when faster, since it is a shipped serving path and the
+    # plain-dispatch wall number is relay-state-dependent (see the
+    # device-rate fields below). p50_batch_ms stays the PLAIN per-call
+    # latency quantile; scan fields carry their own per-batch time.
+    scan_ips = scan_ms = None
+    try:
+        scan_ips, scan_ms = _bench_scan(serve_cfg, serve_det, serve_vars)
+    except Exception:  # pragma: no cover - keep the headline robust
+        pass
+
+    dispatch, plain_ips = "plain", images_per_sec
+    if scan_ips is not None and scan_ips > images_per_sec:
+        dispatch = "scan4"
+        images_per_sec = scan_ips
+        if mxu_util_int8 is not None:
+            mxu_util_int8 = flops8 / (scan_ms * 1e-3) / (2 * PEAK_BF16_FLOPS)
+
     # ---- accuracy smoke (machine-captured mAP drift detector): the
     # committed tiny artifact scored on its seed-derived val scenes, bf16
     # AND through the real int8 calibration path (eval/sanity.py). The
@@ -263,7 +342,12 @@ def main() -> None:
         "gflops_per_image": round(flops_per_batch / BATCH / 1e9, 2),
         "batch": BATCH,
         "serving_dtype": "int8" if mxu_util_int8 is not None else "bfloat16",
+        "dispatch": dispatch,
     }
+    if scan_ips is not None:
+        out["scan4_images_per_sec"] = round(scan_ips, 2)
+        out["scan4_per_batch_ms"] = round(scan_ms, 3)
+        out["plain_images_per_sec"] = round(plain_ips, 2)
     if mxu_util_int8 is not None:
         out["mxu_util_int8"] = round(mxu_util_int8, 4)
     # DEVICE time per batch (XProf-traced) + the implied device-rate

@@ -278,6 +278,108 @@ class Predictor:
         return {"out": out, "n": n, "valid_frac": valid_frac,
                 "single": single}
 
+    # ------------------------------------------------- scan-group dispatch
+
+    def _fn_for_scan(self, n: int, k: int):
+        """Compiled scan-of-``k``-microbatches predict for bucket ``n``.
+
+        One device program runs ``k`` back-to-back microbatches via
+        ``lax.scan`` (the body compiles once), so the host pays ONE
+        dispatch for ``k`` batches. Through a relay/tunnel whose
+        per-dispatch overhead does not hide behind an ~9 ms device step
+        (in-flight is capped), this recovers the device-rate throughput
+        in wall time — see BENCHMARKS.md round 5. Single-device only
+        (meshed serving keeps per-batch dispatch).
+        """
+        key = (n, "scan", k)
+        if key not in self._jitted:
+            if self.mesh is not None:
+                raise ValueError("scan dispatch is single-device only")
+
+            def predict_k(v, images_k):
+                def body(c, imgs):
+                    out = self.detector.predict(v, imgs)
+                    return c, (out.boxes, out.scores, out.labels,
+                               out.num_boxes)
+                _, ys = jax.lax.scan(body, 0, images_k)
+                return ys
+
+            fn, stage = jax.jit(predict_k), jnp.asarray
+            from ssd_tpu.utils.layout import (compile_auto_layout,
+                                              want_auto_layout)
+            if want_auto_layout():
+                dummy = jnp.zeros((k,) + self._feed_shape(n),
+                                  self._feed_dtype())
+                compiled, st = compile_auto_layout(
+                    predict_k, self.variables, dummy)
+                if compiled is not None:
+                    fn, stage = compiled, st
+            self._jitted[key] = (fn, stage)
+        return self._jitted[key]
+
+    def predict_dispatch_group(self, batches: list) -> dict:
+        """Dispatch SEVERAL independent batches as one scan-K device call.
+
+        ``batches``: list of image lists (raw uint8 HxWx3 or pre-packed s8
+        — the same per-image forms ``predict_dispatch`` accepts, minus
+        letterboxing). All batches are padded to one common bucket.
+        Returns a handle for ``predict_collect_group``. With a single
+        batch this degenerates to ``predict_dispatch``.
+        """
+        if len(batches) == 1:
+            return {"group": [self.predict_dispatch(batches[0])]}
+        hw = self.cfg.image_hw()
+        bucket = max(self._bucket_for(max(len(b), 1)) for b in batches)
+        feed_shape = self._feed_shape(bucket)
+        feeds, ns = [], []
+        for batch in batches:
+            image_list = [np.asarray(im) for im in batch]
+            if self._packed and image_list and all(
+                    im.ndim == 3 and im.dtype == np.int8
+                    and im.shape == feed_shape[1:] for im in image_list):
+                feed = np.stack(image_list)
+            else:
+                imgs = np.stack([
+                    im if im.shape[:2] == hw else resize_image(im, hw)
+                    for im in image_list
+                ]).astype(np.uint8)
+                if imgs.shape[0] != bucket:
+                    imgs = np.concatenate([imgs, np.zeros(
+                        (bucket - imgs.shape[0],) + imgs.shape[1:],
+                        np.uint8)])
+                feed = self._feed(imgs)
+            if feed.shape[0] != bucket:
+                feed = np.concatenate([feed, np.zeros(
+                    (bucket - feed.shape[0],) + feed.shape[1:],
+                    feed.dtype)])
+            feeds.append(feed)
+            ns.append(len(batch))
+        fn, stage = self._fn_for_scan(bucket, len(batches))
+        ys = fn(self.variables, stage(np.stack(feeds)))
+        return {"scan": ys, "ns": ns}
+
+    def predict_collect_group(self, handle: dict) -> list[dict]:
+        """Block on a ``predict_dispatch_group`` handle -> one result dict
+        per batch (same contract as ``predict_collect``)."""
+        if "group" in handle:
+            return [self.predict_collect(h) for h in handle["group"]]
+        boxes, scores, labels, num_boxes = (np.asarray(a)
+                                            for a in handle["scan"])
+        out = []
+        for i, n in enumerate(handle["ns"]):
+            out.append({
+                "boxes": boxes[i, :n],
+                "scores": scores[i, :n],
+                "labels": labels[i, :n],
+                "num_boxes": num_boxes[i, :n],
+            })
+            if self.label_map is not None:
+                out[-1]["names"] = np.array([
+                    [self.label_map.get(int(l), str(int(l))) for l in row]
+                    for row in out[-1]["labels"]
+                ])
+        return out
+
     def predict_collect(self, handle: dict) -> dict:
         """Second half of ``predict``: block on the device result from
         ``predict_dispatch`` and convert to the public numpy contract."""

@@ -98,13 +98,20 @@ class _Dispatcher(threading.Thread):
 
     def __init__(self, predictor: Predictor, requests: "queue.Queue",
                  stats: ServerStats, max_batch: int, max_wait_ms: float,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, scan_depth: int = 1):
         super().__init__(daemon=True, name="ssd-tpu-dispatcher")
         self.predictor = predictor
         self.requests = requests
         self.stats = stats
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # scan_depth > 1: when the queue is deep enough, group up to K
+        # already-formed batches into ONE scan-K device call
+        # (Predictor.predict_dispatch_group) — amortizes per-dispatch
+        # relay overhead without adding wait latency (extra batches are
+        # only taken from requests ALREADY queued). Single-device only.
+        self.scan_depth = 1 if getattr(predictor, "mesh", None) \
+            is not None else max(1, int(scan_depth))
         self.in_flight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self.collector = threading.Thread(
             target=self._collect_loop, daemon=True, name="ssd-tpu-collector")
@@ -146,7 +153,24 @@ class _Dispatcher(threading.Thread):
                 if item is None:
                     break
                 batch.append(item)
-            self._dispatch_batch(batch)
+            groups = [batch]
+            while len(groups) < self.scan_depth:
+                extra = []
+                while len(extra) < self.max_batch:
+                    try:
+                        item = self.requests.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is None:
+                        break
+                    extra.append(item)
+                if not extra:
+                    break
+                groups.append(extra)
+            if len(groups) == 1:
+                self._dispatch_batch(batch)
+            else:
+                self._dispatch_group(groups)
         # Graceful shutdown: dispatched batches still drain through the
         # collector (the stop sentinel is FIFO-behind them), but queued,
         # never-dispatched requests must fail fast instead of hanging
@@ -170,6 +194,17 @@ class _Dispatcher(threading.Thread):
         # the device; dispatch pauses rather than queueing unbounded work.
         self.in_flight.put((batch, handle, t0))
 
+    def _dispatch_group(self, groups) -> None:
+        t0 = time.monotonic()
+        try:
+            handle = self.predictor.predict_dispatch_group(
+                [[im for im, _ in g] for g in groups])
+        except Exception as exc:
+            for g in groups:
+                self._fail(g, exc)
+            return
+        self.in_flight.put((groups, handle, t0))
+
     def _collect_loop(self) -> None:
         while True:
             item = self.in_flight.get()
@@ -178,6 +213,22 @@ class _Dispatcher(threading.Thread):
                     return
                 continue
             batch, handle, t0 = item
+            if "ns" in handle or "group" in handle:  # scan-group handle
+                groups = batch
+                try:
+                    outs = self.predictor.predict_collect_group(handle)
+                except Exception as exc:
+                    for g in groups:
+                        self._fail(g, exc)
+                    continue
+                dt = time.monotonic() - t0
+                for g, out in zip(groups, outs):
+                    self.stats.record_batch(len(g), dt)
+                    for j, (_, fut) in enumerate(g):
+                        if not fut.done():
+                            fut.set_result(
+                                {k: v[j] for k, v in out.items()})
+                continue
             try:
                 out = self.predictor.predict_collect(handle)
             except Exception as exc:
@@ -219,12 +270,16 @@ class DetectionServer:
     def __init__(self, predictor: Predictor, host: str = "0.0.0.0",
                  port: int = 8000, max_batch: int = 32,
                  max_wait_ms: float = 5.0, default_score_threshold: float = 0.3,
-                 max_queue: int = 1024, request_timeout_s: float = 30.0):
+                 max_queue: int = 1024, request_timeout_s: float = 30.0,
+                 scan_depth: int = 1):
         self.predictor = predictor
         self.stats = ServerStats()
         self.requests: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        if not hasattr(predictor, "predict_dispatch_group"):
+            scan_depth = 1  # e.g. TTAPredictor wrapper
         self.dispatcher = _Dispatcher(predictor, self.requests, self.stats,
-                                      max_batch, max_wait_ms)
+                                      max_batch, max_wait_ms,
+                                      scan_depth=scan_depth)
         self.default_score_threshold = default_score_threshold
         self.request_timeout_s = request_timeout_s
         hw = predictor.cfg.image_hw()
@@ -304,6 +359,18 @@ class DetectionServer:
                           for n in range(1, self.dispatcher.max_batch + 1)})
         for b in buckets:
             self.predictor.warmup(b)
+        if self.dispatcher.scan_depth > 1:
+            # throughput mode: pre-compile the scan-K program for every
+            # group size the dispatcher can form at the max bucket (a
+            # partially-drained queue yields K' < K groups)
+            import jax
+            import jax.numpy as jnp
+            p = self.predictor
+            for k in range(2, self.dispatcher.scan_depth + 1):
+                fn, stage = p._fn_for_scan(buckets[-1], k)
+                dummy = jnp.zeros((k,) + p._feed_shape(buckets[-1]),
+                                  p._feed_dtype())
+                jax.block_until_ready(fn(p.variables, stage(dummy)))
 
     # ----------------------------------------------------------- request path
 
@@ -368,6 +435,10 @@ def _main() -> None:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--scan-depth", type=int, default=1,
+                   help="group up to K queued batches into one scan-K "
+                        "device call (throughput mode: amortizes "
+                        "per-dispatch overhead; single-device only)")
     p.add_argument("--score-threshold", type=float, default=0.3)
     p.add_argument("--letterbox", action="store_true")
     p.add_argument("--mesh", action="store_true",
@@ -394,7 +465,8 @@ def _main() -> None:
     server = DetectionServer(
         predictor, host=args.host, port=args.port, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
-        default_score_threshold=args.score_threshold)
+        default_score_threshold=args.score_threshold,
+        scan_depth=args.scan_depth)
     if args.warmup_batches.strip() == "all":
         server.warmup()
     else:

@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--image-size", type=int, default=0,
                    help="client image side (0 -> model resolution)")
+    p.add_argument("--scan-depth", type=int, default=1,
+                   help="daemon throughput mode: group up to K queued "
+                        "batches into one scan-K device call")
     args = p.parse_args()
 
     import jax
@@ -56,7 +59,8 @@ def main() -> None:
     server = DetectionServer(predictor, host="127.0.0.1", port=0,
                              max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
-                             default_score_threshold=0.3)
+                             default_score_threshold=0.3,
+                             scan_depth=args.scan_depth)
     server.warmup()  # every reachable bucket — no compiles on the hot path
     server.start()
 

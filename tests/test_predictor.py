@@ -193,3 +193,30 @@ def test_bucket_rounds_up_to_data_axis_multiple():
     assert p._bucket_for(1) % 6 == 0
     assert p._bucket_for(8) == 12   # next pow2 (8) rounded up to 6k
     assert p._bucket_for(12) == 18  # 16 -> 18
+
+
+def test_scan_group_dispatch_matches_per_batch(rng):
+    """predict_dispatch_group (one scan-K device call for K batches) must
+    produce exactly the per-batch predict results — the serve daemon's
+    throughput mode (serve.py --scan-depth) rides this path."""
+    p = _predictor()
+    batches = [
+        [rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+         for _ in range(n)]
+        for n in (3, 4, 2)
+    ]
+    outs = p.predict_collect_group(p.predict_dispatch_group(batches))
+    assert len(outs) == 3
+    for batch, out in zip(batches, outs):
+        ref = p.predict(batch)
+        np.testing.assert_allclose(ref["boxes"], out["boxes"], atol=1e-6)
+        np.testing.assert_allclose(ref["scores"], out["scores"], atol=1e-6)
+        np.testing.assert_array_equal(ref["labels"], out["labels"])
+        np.testing.assert_array_equal(ref["num_boxes"], out["num_boxes"])
+
+
+def test_scan_group_single_batch_degenerates():
+    p = _predictor()
+    imgs = [np.zeros((64, 64, 3), np.uint8)]
+    outs = p.predict_collect_group(p.predict_dispatch_group([imgs]))
+    assert len(outs) == 1 and outs[0]["boxes"].shape == (1, 8, 4)

@@ -279,3 +279,38 @@ def test_dispatcher_error_propagates_per_request(server):
     # still alive
     status, _ = _get(server, "/healthz")
     assert status == 200
+
+
+def test_scan_depth_groups_queued_batches():
+    """Throughput mode (--scan-depth K): batches already in the queue are
+    grouped into one scan-K device call; results must match direct
+    predict. Deterministic: requests are enqueued BEFORE the dispatcher
+    starts, so grouping is guaranteed (first batch + K-1 extras)."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(7)
+    det = Detector(CFG)
+    predictor = Predictor(CFG, det.init(jax.random.PRNGKey(0)))
+    srv = DetectionServer(predictor, host="127.0.0.1", port=0,
+                          max_batch=1, max_wait_ms=0.0, scan_depth=4)
+    assert srv.dispatcher.scan_depth == 4
+    images = [rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+              for _ in range(6)]
+    futs = [concurrent.futures.Future() for _ in images]
+    for im, fut in zip(images, futs):
+        srv.requests.put((im, fut))
+    srv.dispatcher.start()
+    try:
+        for im, fut in zip(images, futs):
+            out = fut.result(timeout=120)
+            direct = predictor.predict(im)
+            np.testing.assert_allclose(direct["boxes"], out["boxes"],
+                                       atol=1e-6)
+            np.testing.assert_array_equal(direct["num_boxes"],
+                                          out["num_boxes"])
+        # the scan program was actually built and used
+        assert any(isinstance(k, tuple) and "scan" in k
+                   for k in predictor._jitted)
+    finally:
+        srv.dispatcher.stop()
+        srv.dispatcher.join(timeout=10)
